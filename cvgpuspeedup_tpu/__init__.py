@@ -1,0 +1,381 @@
+"""cvgpuspeedup_tpu — a TPU-native fused vision-preprocessing engine.
+
+Brand-new JAX/XLA/Pallas implementation of the capabilities of
+cvGPUSpeedup + FusedKernelLibrary (reference mounted at /root/reference):
+a lazy operation graph that compiles every preprocessing pipeline into ONE
+fused device program — read HBM once, compute the whole chain on-chip, write
+once — replacing the kernel-per-op launch pattern of classic vision libraries.
+
+This module is the public factory surface, mirroring the ``cvGS::`` API
+(reference ``include/cvGPUSpeedup.cuh:30-628``) with JAX types: factories
+build ops and execute nothing; :func:`execute_operations` fuses and runs.
+
+Example (the reference's flagship 50-crop pipeline, SURVEY.md §3.2)::
+
+    import cvgpuspeedup_tpu as cvgs
+
+    out = cvgs.execute_operations(
+        cvgs.resize_batch(frame, rects=rects, dsize=cvgs.Size(64, 128),
+                          used_planes=n_detections, background=128.0),
+        cvgs.cvt_color(cvgs.ColorConversionCode.COLOR_RGB2BGR),
+        cvgs.multiply(0.3),
+        cvgs.subtract((3.2, 0.6, 11.8)),
+        cvgs.divide((128.0, 128.0, 128.0)),
+        cvgs.split_tensor(),            # planar (N, C, H, W)
+    )
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from .graph import ComputeOp, FusedCompute, IOp, ReadOp, WriteOp, fuse
+from .ops.arithmetic import Add, Div, Mul, StaticLoop, Sub
+from .ops.cast import Cast, SaturateCast
+from .ops.color import ColorConversion, ColorConversionCode, VectorReorder
+from .ops.crop import CropRead
+from .ops.memory import (
+    BatchRead,
+    CircularBatchRead,
+    ImageRead,
+    SplitWrite,
+    TensorSplit,
+    TensorTSplit,
+    TensorWrite,
+    Write2D,
+)
+from .ops.nv12 import ConvertYUVToRGB, ReadYUV
+from .ops.resize import BatchResizeRead, ResizeRead
+from .ops.warp import WarpRead, WarpType, invert_affine, invert_perspective
+from .exec.executor import (
+    Pipeline,
+    build_operation_sequence,
+    build_pipeline,
+    execute_operations,
+    launch_divergent_batch,
+)
+from .types import (
+    AspectRatio,
+    CircularTensorOrder,
+    ColorPlanes,
+    ColorRange,
+    ColorStandard,
+    InterpolationType,
+    ParBackend,
+    PixelFormat,
+    Point,
+    Rect,
+    Size,
+)
+from .utils import dtypes as _dt
+from .utils.dtypes import saturate_cast as saturate_cast_fn
+from .data.circular_tensor import CircularTensor
+
+__version__ = "0.1.0"
+
+ArrayLike = Union[np.ndarray, jnp.ndarray]
+_SourceLike = Union[ArrayLike, ReadOp]
+
+
+def _as_read(source: _SourceLike) -> ReadOp:
+    if isinstance(source, ReadOp):
+        return source
+    arr = jnp.asarray(source)
+    return ImageRead(data=arr, is_batch=(arr.ndim == 4))
+
+
+# ---------------------------------------------------------------------------
+# pointwise factories (reference include/cvGPUSpeedup.cuh:74-161)
+# ---------------------------------------------------------------------------
+
+
+def convert_to(dst_dtype, alpha: Optional[float] = None, beta: Optional[float] = None) -> ComputeOp:
+    """``cvGS::convertTo<I, O>([alpha[, beta]])`` (reference
+    ``include/cvGPUSpeedup.cuh:74-129``): OpenCV ``convertTo`` semantics —
+    ``saturate_cast<O>(src * alpha + beta)``, with the multiply/add computed in
+    float when the output is integral."""
+    dst = np.dtype(dst_dtype)
+    if alpha is None and beta is None:
+        return SaturateCast(dst=dst)
+    stages: list = []
+    if _dt.is_float(dst):
+        stages.append(SaturateCast(dst=dst))
+        stages.append(Mul(value=jnp.asarray(alpha, dtype=dst)))
+        if beta is not None:
+            stages.append(Add(value=jnp.asarray(beta, dtype=dst)))
+    else:
+        stages.append(Cast(dst=np.dtype(np.float32)))
+        stages.append(Mul(value=jnp.float32(alpha)))
+        if beta is not None:
+            stages.append(Add(value=jnp.float32(beta)))
+        stages.append(SaturateCast(dst=dst))
+    return FusedCompute(ops=tuple(stages))
+
+
+def multiply(value) -> ComputeOp:
+    return Mul(value=jnp.asarray(value, jnp.float32))
+
+
+def add(value) -> ComputeOp:
+    return Add(value=jnp.asarray(value, jnp.float32))
+
+
+def subtract(value) -> ComputeOp:
+    return Sub(value=jnp.asarray(value, jnp.float32))
+
+
+def divide(value) -> ComputeOp:
+    return Div(value=jnp.asarray(value, jnp.float32))
+
+
+def cvt_color(code: ColorConversionCode) -> ComputeOp:
+    return ColorConversion(code=code)
+
+
+def vector_reorder(*indices: int) -> ComputeOp:
+    return VectorReorder(indices=tuple(indices))
+
+
+def static_loop(body: ComputeOp, n: int) -> ComputeOp:
+    return StaticLoop(body=body, n=n)
+
+
+def convert_yuv_to_rgb(
+    color_range: ColorRange = ColorRange.FULL,
+    standard: ColorStandard = ColorStandard.BT601,
+    alpha: bool = False,
+    out_dtype=np.uint8,
+) -> ComputeOp:
+    return ConvertYUVToRGB(
+        color_range=color_range,
+        standard=standard,
+        alpha=alpha,
+        out_dtype=np.dtype(out_dtype),
+    )
+
+
+# ---------------------------------------------------------------------------
+# read factories (reference include/cvGPUSpeedup.cuh:204-265,285-447,600-627)
+# ---------------------------------------------------------------------------
+
+
+def image(source: ArrayLike) -> ReadOp:
+    """Wrap a packed (H, W, C) / (N, H, W, C) array as a read op
+    (``fk::PerThreadRead`` analog)."""
+    return _as_read(source)
+
+
+def read_yuv(buffer: ArrayLike, pixel_format: PixelFormat = PixelFormat.NV12) -> ReadOp:
+    return ReadYUV(buffer=jnp.asarray(buffer), pixel_format=pixel_format)
+
+
+def crop(source: _SourceLike, rect: Rect) -> ReadOp:
+    """``cvGS::crop(backIOp, rect)``: a zero-copy re-indexing read stage."""
+    return CropRead(
+        source=_as_read(source),
+        x=jnp.asarray(rect.x, jnp.int32),
+        y=jnp.asarray(rect.y, jnp.int32),
+        width=int(rect.width),
+        height=int(rect.height),
+    )
+
+
+def crop_batch(source: _SourceLike, rects: Sequence[Rect]) -> ReadOp:
+    """``cvGS::crop<BATCH>(rects)``: N same-size crops as one batched read."""
+    sizes = {(r.width, r.height) for r in rects}
+    if len(sizes) != 1:
+        raise ValueError("crop_batch requires equal crop sizes (shape is static); "
+                         "use resize_batch for variable geometry")
+    src = _as_read(source)
+    return BatchRead(
+        ops=tuple(crop(src, r) for r in rects),
+        used_planes=None,
+        default=None,
+    )
+
+
+def resize(
+    source: _SourceLike,
+    dsize: Size,
+    fx: float = 0.0,
+    fy: float = 0.0,
+    interpolation: InterpolationType = InterpolationType.INTER_LINEAR,
+) -> ReadOp:
+    """``cvGS::resize<T, INTER_LINEAR>(src, dsize, fx, fy)``. Output is float32
+    (the resize stage always emits float; append :func:`convert_to` to cast)."""
+    src = _as_read(source)
+    if dsize == Size(0, 0) or dsize is None:
+        shape = jnp.asarray(src.lower()).shape if not isinstance(source, ReadOp) else None
+        if shape is None or not (fx > 0 and fy > 0):
+            raise ValueError("resize with dsize=(0,0) needs fx, fy > 0 and an array source")
+        dsize = Size(int(round(shape[1] * fx)), int(round(shape[0] * fy)))
+    return ResizeRead(source=src, dsize=dsize, interp=interpolation)
+
+
+def resize_batch(
+    source: Union[ArrayLike, Sequence[ArrayLike]],
+    dsize: Size,
+    rects: Optional[ArrayLike] = None,
+    used_planes: Optional[ArrayLike] = None,
+    background=0.0,
+    aspect_ratio: AspectRatio = AspectRatio.IGNORE_AR,
+    interpolation: InterpolationType = InterpolationType.INTER_LINEAR,
+    channels: Optional[int] = None,
+) -> BatchResizeRead:
+    """The flagship batched variable-geometry resize
+    (``cvGS::resize<T, INTER_LINEAR, NPtr, AR>``,
+    ``include/cvGPUSpeedup.cuh:218-245``).
+
+    - ``source`` = one frame + ``rects`` (N, 4) ``[x, y, w, h]``  (crops of a
+      frame), or a list of independent images (padded+stacked internally).
+    - ``used_planes``: runtime active-plane count (ragged batch); inactive
+      planes emit ``background``.
+    - ``background``: scalar or per-channel; fills inactive planes and
+      letterbox borders for PRESERVE_AR modes.
+    """
+    if rects is not None:
+        frame = jnp.asarray(source)
+        rect_arr = jnp.asarray(rects, jnp.int32)
+        if rect_arr.ndim != 2 or rect_arr.shape[1] != 4:
+            raise ValueError("rects must be (N, 4) [x, y, w, h]")
+        nch = channels or (frame.shape[-1] if frame.ndim == 3 else 1)
+        return BatchResizeRead(
+            frame=frame,
+            stack=None,
+            rects=rect_arr,
+            used_planes=None if used_planes is None else jnp.asarray(used_planes, jnp.int32),
+            background=_dt.as_channel_vector(background, nch, jnp.float32),
+            dsize=dsize,
+            aspect_ratio=aspect_ratio,
+            interp=interpolation,
+        )
+    imgs = [np.asarray(s) for s in source]
+    nch = channels or (imgs[0].shape[-1] if imgs[0].ndim == 3 else 1)
+    max_h = max(i.shape[0] for i in imgs)
+    max_w = max(i.shape[1] for i in imgs)
+    stack = np.zeros((len(imgs), max_h, max_w, nch), dtype=imgs[0].dtype)
+    rect_list = []
+    for z, im in enumerate(imgs):
+        if im.ndim == 2:
+            im = im[:, :, None]
+        stack[z, : im.shape[0], : im.shape[1], :] = im
+        rect_list.append((0, 0, im.shape[1], im.shape[0]))
+    return BatchResizeRead(
+        frame=None,
+        stack=jnp.asarray(stack),
+        rects=jnp.asarray(rect_list, jnp.int32),
+        used_planes=None if used_planes is None else jnp.asarray(used_planes, jnp.int32),
+        background=_dt.as_channel_vector(background, nch, jnp.float32),
+        dsize=dsize,
+        aspect_ratio=aspect_ratio,
+        interp=interpolation,
+    )
+
+
+def warp(
+    source: _SourceLike,
+    matrix: ArrayLike,
+    dsize: Size,
+    warp_type: WarpType = WarpType.AFFINE,
+    default=0.0,
+    channels: Optional[int] = None,
+) -> ReadOp:
+    """``cvGS::warp<WarpType, I>(src, 3x3/2x3, dstSize)``. The forward matrix
+    is inverted host-side exactly like the reference wrapper
+    (``include/cvGPUSpeedup.cuh:292-301``); pass ``warp_type=PERSPECTIVE`` with
+    a 3x3 homography. Output is float32."""
+    m = np.asarray(matrix, np.float64)
+    if warp_type == WarpType.AFFINE:
+        if m.shape != (2, 3):
+            raise ValueError("affine warp needs a 2x3 matrix")
+        inv = invert_affine(m)
+    else:
+        if m.shape != (3, 3):
+            raise ValueError("perspective warp needs a 3x3 matrix")
+        inv = invert_perspective(m)
+    src = _as_read(source)
+    nch = channels
+    if nch is None:
+        nch = int(source.shape[-1]) if not isinstance(source, ReadOp) else 3
+    return WarpRead(
+        source=src,
+        matrix=jnp.asarray(inv, jnp.float32),
+        default=_dt.as_channel_vector(default, nch, jnp.float32),
+        dsize=dsize,
+        warp_type=warp_type,
+    )
+
+
+def batch_read(
+    ops: Sequence[ReadOp],
+    used_planes: Optional[ArrayLike] = None,
+    default=None,
+) -> ReadOp:
+    """``fk::BatchRead<N, CONDITIONAL_WITH_DEFAULT>`` over arbitrary per-plane
+    read ops."""
+    return BatchRead(
+        ops=tuple(ops),
+        used_planes=None if used_planes is None else jnp.asarray(used_planes, jnp.int32),
+        default=None if default is None else jnp.asarray(default, jnp.float32),
+    )
+
+
+def circular_batch_read(data: ArrayLike, first, ascendent: bool = True) -> ReadOp:
+    return CircularBatchRead(
+        data=jnp.asarray(data), first=jnp.asarray(first, jnp.int32), ascendent=ascendent
+    )
+
+
+# ---------------------------------------------------------------------------
+# write factories (reference include/cvGPUSpeedup.cuh:163-202,449-462)
+# ---------------------------------------------------------------------------
+
+
+def write() -> WriteOp:
+    """Packed channel-last output (``cvGS::write<O>(GpuMat)``)."""
+    return Write2D()
+
+
+def write_tensor() -> WriteOp:
+    """Packed batch tensor (N, H, W, C) (``fk::TensorWrite``)."""
+    return TensorWrite()
+
+
+def split() -> WriteOp:
+    """Per-channel separate buffers (``cvGS::split<O>(vector<GpuMat>)``)."""
+    return SplitWrite()
+
+
+def split_tensor() -> WriteOp:
+    """Planar (N, C, H, W) tensor (``cvGS::split<O>(GpuMat, planeDims)``)."""
+    return TensorSplit()
+
+
+def split_tensor_transposed() -> WriteOp:
+    """Channel-major (C, N, H, W) tensor (``cvGS::splitT``)."""
+    return TensorTSplit()
+
+
+__all__ = [
+    # graph
+    "IOp", "ReadOp", "ComputeOp", "WriteOp", "FusedCompute", "fuse",
+    "Pipeline", "build_pipeline", "execute_operations",
+    "build_operation_sequence", "launch_divergent_batch",
+    # types
+    "Size", "Point", "Rect", "InterpolationType", "AspectRatio",
+    "CircularTensorOrder", "ColorPlanes", "ColorRange", "ColorStandard",
+    "PixelFormat", "ParBackend", "ColorConversionCode", "WarpType",
+    # factories
+    "convert_to", "multiply", "add", "subtract", "divide", "cvt_color",
+    "vector_reorder", "static_loop", "convert_yuv_to_rgb", "image",
+    "read_yuv", "crop", "crop_batch", "resize", "resize_batch", "warp",
+    "batch_read", "circular_batch_read",
+    "write", "write_tensor", "split", "split_tensor", "split_tensor_transposed",
+    # data
+    "CircularTensor",
+    # utils
+    "saturate_cast_fn",
+]

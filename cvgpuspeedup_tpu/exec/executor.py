@@ -1,0 +1,227 @@
+"""The executor — ``execute_operations`` and the pipeline compile cache.
+
+TPU-native equivalent of ``fk::executeOperations`` + the TransformDPP launcher
+(reference F12; wrapper overloads at ``include/cvGPUSpeedup.cuh:464-584``).
+
+The reference performs fusion at C++ compile time and launches one CUDA kernel
+per call. Here, a pipeline's *structure* (op classes, dtypes, static geometry)
+lives in the pytree treedef while all runtime parameters (images, rects,
+scalars) are leaves, so:
+
+- first call with a given structure: trace + XLA/Mosaic compile -> ONE fused
+  device program (the single-kernel guarantee);
+- every later call with new parameter values: cache hit, zero Python-side
+  rebuild — the analog of the reference's "graph build is allocation-free and
+  ≈ free on CPU" property (``benchmarks/benchmark_CPUandGPU_cvGS_vs_fk.cu:116-184``).
+
+The reference's 12 ``executeOperations`` overloads collapse to one Python
+signature: reads/writes are inferred when omitted, exactly like
+``FirstInstantiableOperationInputType_t`` / ``LastInstantiableOperationOutputType_t``
+derive them in the wrapper (``include/cvGPUSpeedup.cuh:479-494``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..graph import ComputeOp, FusedCompute, IOp, ReadOp, WriteOp, op
+from ..ops.memory import ImageRead, Write2D
+from ..types import ParBackend
+
+__all__ = [
+    "Pipeline",
+    "build_pipeline",
+    "execute_operations",
+    "build_operation_sequence",
+    "launch_divergent_batch",
+    "clear_cache",
+]
+
+
+@op
+class Pipeline:
+    """A fully-normalized pipeline: read head, pointwise chain, write tail.
+
+    This is the analog of the reference's "details" struct built by
+    ``TransformDPP::build_details`` (``benchmarks/benchmark_image_resolution_
+    MAD_loop.cu:66``): everything the fused kernel needs, ready to launch.
+    """
+
+    read: ReadOp
+    compute: Tuple[ComputeOp, ...]
+    write: WriteOp
+
+    def lower(self):
+        x = self.read.lower()
+        for o in self.compute:
+            x = o.apply(x)
+        return self.write.write(x)
+
+    def describe(self) -> str:
+        parts = [self.read.describe()]
+        parts += [o.describe() for o in self.compute]
+        parts += [self.write.describe()]
+        return " -> ".join(parts)
+
+
+def build_pipeline(*iops: IOp, input: Optional[jnp.ndarray] = None) -> Pipeline:
+    """Normalize a user op list into a :class:`Pipeline`.
+
+    - ``input=`` supplies the source array when the first op is not a read
+      (the ``executeOperations(input, stream, iops...)`` overload family);
+      rank-4 arrays are treated as batched (N, H, W, C).
+    - A missing terminal write defaults to the packed layout
+      (``PerThreadWrite`` derivation, ``include/cvGPUSpeedup.cuh:493-494``).
+    """
+    ops_list = list(iops)
+    if input is not None:
+        if ops_list and isinstance(ops_list[0], ReadOp):
+            raise ValueError("pass either an input array or a leading read op, not both")
+        ops_list.insert(0, ImageRead(data=input, is_batch=(input.ndim == 4)))
+    if not ops_list or not isinstance(ops_list[0], ReadOp):
+        raise ValueError("pipeline needs a read op or an input array at its head")
+    read = ops_list[0]
+
+    write: WriteOp
+    if isinstance(ops_list[-1], WriteOp):
+        write = ops_list[-1]
+        middle = ops_list[1:-1]
+    else:
+        write = Write2D()
+        middle = ops_list[1:]
+
+    compute: list = []
+    for o in middle:
+        if isinstance(o, FusedCompute):
+            compute.extend(o.ops)
+        elif isinstance(o, ComputeOp):
+            compute.append(o)
+        else:
+            raise TypeError(
+                f"mid-pipeline ops must be compute ops, got {type(o).__name__}"
+            )
+    return Pipeline(read=read, compute=tuple(compute), write=write)
+
+
+# --- compile cache --------------------------------------------------------
+
+_CACHE: Dict[Tuple, Callable] = {}
+
+
+def clear_cache() -> None:
+    _CACHE.clear()
+
+
+def _lower_with_backend(pipeline: Pipeline, backend: ParBackend):
+    if backend in (ParBackend.PALLAS, ParBackend.PALLAS_INTERPRET):
+        from . import pallas_backend
+
+        interpret = backend == ParBackend.PALLAS_INTERPRET
+        lowered = pallas_backend.try_lower(pipeline, interpret=interpret)
+        if lowered is not None:
+            return lowered
+        # fall through: pattern not supported by the Pallas emitter
+    return pipeline.lower()
+
+
+def _resolve_auto(pipeline: Pipeline) -> ParBackend:
+    from . import pallas_backend
+
+    backend = jax.default_backend()
+    if backend == "tpu" and pallas_backend.supports(pipeline):
+        return ParBackend.PALLAS
+    return ParBackend.XLA
+
+
+def _compiled(treedef, backend: ParBackend) -> Callable:
+    key = (treedef, backend)
+    fn = _CACHE.get(key)
+    if fn is None:
+
+        def run(leaves):
+            pipeline = jax.tree_util.tree_unflatten(treedef, leaves)
+            return _lower_with_backend(pipeline, backend)
+
+        fn = jax.jit(run)
+        _CACHE[key] = fn
+    return fn
+
+
+def execute_operations(
+    *iops: IOp,
+    input: Optional[jnp.ndarray] = None,
+    backend: ParBackend = ParBackend.AUTO,
+):
+    """Fuse the op chain into one device program and run it.
+
+    Returns the output array (or tuple of arrays for ``SplitWrite``). The
+    compiled program is cached by pipeline structure; parameter-only changes
+    (new frames, new rects, new scalars) reuse it.
+    """
+    pipeline = build_pipeline(*iops, input=input)
+    if backend == ParBackend.AUTO:
+        backend = _resolve_auto(pipeline)
+    leaves, treedef = jax.tree_util.tree_flatten(pipeline)
+    return _compiled(treedef, backend)(leaves)
+
+
+# --- divergent batch (reference F9) ---------------------------------------
+
+
+def build_operation_sequence(*iops: IOp) -> Pipeline:
+    """Pack one per-plane operation sequence — ``fk::buildOperationSequence``
+    (reference ``tests/batchread/test_circularbatchread_x_write3D.cu:89-94``)."""
+    return build_pipeline(*iops)
+
+
+def launch_divergent_batch(
+    selector: Callable[[int], int],
+    *sequences: Pipeline,
+    backend: ParBackend = ParBackend.XLA,
+):
+    """Run different op sequences on different planes of one batch.
+
+    ``selector(z)`` returns the **1-based** sequence id for plane ``z`` (the
+    reference's ``SequenceSelector::at`` device functor,
+    ``tests/resize/test_fused_resize.cu:22-26``). The selector is static — it
+    is evaluated at trace time, so XLA compiles exactly the work each plane
+    needs (the TPU analog of the per-plane template dispatch). All sequences
+    must produce batches of the same plane count and element shape; the write
+    layout of the first sequence is applied to the merged batch.
+    """
+    if not sequences:
+        raise ValueError("need at least one operation sequence")
+
+    seqs = list(sequences)
+
+    def run(seq_list):
+        packed = []
+        for s in seq_list:
+            x = s.read.lower()
+            for o in s.compute:
+                x = o.apply(x)
+            packed.append(x)
+        n = packed[0].shape[0]
+        planes = []
+        for z in range(n):
+            sid = selector(z)
+            if not 1 <= sid <= len(seq_list):
+                raise ValueError(f"selector({z}) = {sid} out of range")
+            planes.append(packed[sid - 1][z])
+        merged = jnp.stack(planes, axis=0)
+        return seq_list[0].write.write(merged)
+
+    leaves, treedef = jax.tree_util.tree_flatten(seqs)
+    key = (treedef, "divergent", selector, backend)
+    fn = _CACHE.get(key)
+    if fn is None:
+
+        def traced(ls):
+            return run(jax.tree_util.tree_unflatten(treedef, ls))
+
+        fn = jax.jit(traced)
+        _CACHE[key] = fn
+    return fn(leaves)

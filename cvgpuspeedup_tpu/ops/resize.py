@@ -1,0 +1,238 @@
+"""Bilinear resize read ops — single image and batched variable-geometry.
+
+Equivalent of ``fk::Resize<InterpolationType[, AspectRatio][, BackOp]>``
+(reference F11; factory surface ``include/cvGPUSpeedup.cuh:204-245``):
+
+- interpolation: INTER_LINEAR only (whitelist ``include/cv2cuda_types.cuh:86``),
+  computed in float32 with OpenCV half-pixel-center coordinates; **the resize
+  stage always emits float**, callers append a cast (reference
+  ``include/cvGPUSpeedup.cuh:227``, ``tests/resize/test_resize_write.cu:55-56``).
+- :class:`BatchResizeRead` is the flagship read: N crops with per-plane runtime
+  geometry, one fused program (reference ``include/cvGPUSpeedup.cuh:218-245``,
+  call stack SURVEY.md §3.2). Per-plane rects/sizes/active-mask/background are
+  runtime arrays — batch geometry changes never recompile.
+- aspect-ratio modes ``PRESERVE_AR / IGNORE_AR / PRESERVE_AR_RN_EVEN /
+  PRESERVE_AR_LEFT`` (reference ``include/cvGPUSpeedup.cuh:32``); PRESERVE_AR
+  letterboxes into the target with the background value, with the exact
+  float/trunc arithmetic of the reference host code
+  (``tests/batchresize/test_batchresize_aspectratio_x_split3D.cu:86-95``).
+
+The coordinate/weight helpers here are the single source of truth for bilinear
+numerics — the Pallas backend builds its MXU interpolation matrices from the
+same functions so both backends produce bit-identical float32 results.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..graph import ReadOp, op, static_field
+from ..types import AspectRatio, InterpolationType, Size
+
+
+def axis_lerp(dst_len: int, src_len, scale):
+    """Per-output-index source taps + weight for one axis, OpenCV semantics.
+
+    ``s = (d + 0.5) * scale - 0.5``; ``i0 = floor(s)``; weight ``w = s - i0``;
+    clamped at the borders exactly like ``cv::resize`` INTER_LINEAR
+    (weight forced to 0 when the left tap clamps at either edge).
+
+    ``src_len`` and ``scale`` may be traced scalars (batched variable-geometry
+    path). Returns ``(i0, i1, w)`` with ``i0/i1`` int32 of shape (dst_len,),
+    ``w`` float32 of shape (dst_len,).
+    """
+    d = jnp.arange(dst_len, dtype=jnp.float32)
+    s = (d + 0.5) * jnp.float32(scale) - 0.5
+    i0f = jnp.floor(s)
+    w = s - i0f
+    i0 = i0f.astype(jnp.int32)
+    src_len = jnp.asarray(src_len, jnp.int32)
+    w = jnp.where(i0 < 0, 0.0, w)
+    i0 = jnp.maximum(i0, 0)
+    w = jnp.where(i0 >= src_len - 1, 0.0, w)
+    i0 = jnp.minimum(i0, src_len - 1)
+    i1 = jnp.minimum(i0 + 1, src_len - 1)
+    return i0, i1, w
+
+
+def letterbox_geometry(crop_w, crop_h, dsize: Size, mode: AspectRatio):
+    """Target sub-rectangle for aspect-ratio-preserving resize.
+
+    Float/trunc math copied semantically from the reference oracle
+    (``tests/batchresize/test_batchresize_aspectratio_x_split3D.cu:86-95``):
+    scale to target height, truncate the scaled width, and if it overflows
+    scale to target width instead. Offsets center the sub-rect (integer
+    division), except PRESERVE_AR_LEFT which anchors at (0, 0).
+    PRESERVE_AR_RN_EVEN additionally rounds the fitted dims to the nearest
+    even number (reconstructed; enum at reference ``include/cvGPUSpeedup.cuh:32``).
+
+    Returns traced int32 scalars ``(new_w, new_h, ox, oy)``.
+    """
+    dst_w, dst_h = dsize.width, dsize.height
+    crop_w = jnp.asarray(crop_w, jnp.float32)
+    crop_h = jnp.asarray(crop_h, jnp.float32)
+    if mode == AspectRatio.IGNORE_AR:
+        zero = jnp.int32(0)
+        return jnp.int32(dst_w), jnp.int32(dst_h), zero, zero
+    scale = jnp.float32(dst_h) / crop_h
+    new_w = (scale * crop_w).astype(jnp.int32)  # trunc, as static_cast<int>
+    overflow = new_w > dst_w
+    scale2 = jnp.float32(dst_w) / crop_w
+    new_h2 = (scale2 * crop_h).astype(jnp.int32)
+    new_w = jnp.where(overflow, dst_w, new_w)
+    new_h = jnp.where(overflow, new_h2, dst_h)
+    if mode == AspectRatio.PRESERVE_AR_RN_EVEN:
+        new_w = jnp.minimum(((new_w + 1) // 2) * 2, dst_w)
+        new_h = jnp.minimum(((new_h + 1) // 2) * 2, dst_h)
+    if mode == AspectRatio.PRESERVE_AR_LEFT:
+        ox = jnp.int32(0)
+        oy = jnp.int32(0)
+    else:
+        ox = (dst_w - new_w) // 2
+        oy = (dst_h - new_h) // 2
+    return new_w, new_h, ox, oy
+
+
+def _bilinear_sample(img_f32, i0x, i1x, wx, i0y, i1y, wy):
+    """Separable bilinear via 4 corner-point gathers: horizontal lerp first,
+    then vertical.
+
+    The association (horizontal, then vertical, each as ``a*(1-w) + b*w``) is
+    fixed so the XLA gather path and the Pallas matmul path
+    (``Wv @ (src @ Wh)``) agree bit-for-bit in f32.
+    """
+    ry0 = i0y[:, None]
+    ry1 = i1y[:, None]
+    cx0 = i0x[None, :]
+    cx1 = i1x[None, :]
+    v00 = img_f32[ry0, cx0]
+    v01 = img_f32[ry0, cx1]
+    v10 = img_f32[ry1, cx0]
+    v11 = img_f32[ry1, cx1]
+    wx_c = wx[None, :, None]
+    wy_c = wy[:, None, None]
+    h0 = v00 * (1.0 - wx_c) + v01 * wx_c
+    h1 = v10 * (1.0 - wx_c) + v11 * wx_c
+    return h0 * (1.0 - wy_c) + h1 * wy_c
+
+
+@op
+class ResizeRead(ReadOp):
+    """Single-image bilinear resize over any back read-op. Emits float32."""
+
+    source: ReadOp
+    dsize: Size = static_field()
+    interp: InterpolationType = static_field(default=InterpolationType.INTER_LINEAR)
+
+    def lower(self) -> jnp.ndarray:
+        src = self.source.lower().astype(jnp.float32)
+        if src.ndim != 3:
+            raise ValueError("ResizeRead expects a single (H, W, C) source")
+        src_h, src_w = src.shape[0], src.shape[1]
+        dst_w, dst_h = self.dsize.width, self.dsize.height
+        i0x, i1x, wx = axis_lerp(dst_w, src_w, src_w / dst_w)
+        i0y, i1y, wy = axis_lerp(dst_h, src_h, src_h / dst_h)
+        return _bilinear_sample(src, i0x, i1x, wx, i0y, i1y, wy)
+
+    def describe(self) -> str:
+        return f"Resize[{self.dsize.width}x{self.dsize.height}]({self.source.describe()})"
+
+
+@op
+class BatchResizeRead(ReadOp):
+    """The flagship: N variable-geometry crops -> dsize, one fused program.
+
+    Two source modes (exactly one of ``frame``/``stack`` is set):
+
+    - *rect mode*: ``frame`` (H, W, C) + ``rects`` (N, 4) int32 ``[x, y, w, h]``
+      — N crops of one frame (the reference's 50-detections pipeline,
+      SURVEY.md §3.2).
+    - *stack mode*: ``stack`` (N, maxH, maxW, C) padded stack + ``rects`` with
+      x=y=0 and per-plane true dims — N independent images.
+
+    ``used_planes`` (runtime scalar) masks ragged batches: planes >= it emit
+    ``background`` (reference CONDITIONAL_WITH_DEFAULT, F7). ``background`` is
+    a per-channel float32 vector; it also fills letterbox borders for
+    PRESERVE_AR modes. Output: (N, dstH, dstW, C) float32.
+    """
+
+    frame: Optional[jnp.ndarray]
+    stack: Optional[jnp.ndarray]
+    rects: jnp.ndarray
+    used_planes: Optional[jnp.ndarray]
+    background: jnp.ndarray
+    dsize: Size = static_field()
+    aspect_ratio: AspectRatio = static_field(default=AspectRatio.IGNORE_AR)
+    interp: InterpolationType = static_field(default=InterpolationType.INTER_LINEAR)
+
+    batched = True
+
+    @property
+    def num_planes(self) -> int:
+        return self.rects.shape[0]
+
+    def lower(self) -> jnp.ndarray:
+        dst_w, dst_h = self.dsize.width, self.dsize.height
+        dsize = self.dsize
+        mode = self.aspect_ratio
+        bg = jnp.asarray(self.background, jnp.float32)
+
+        def one_plane(rect, plane_src):
+            x0, y0 = rect[0], rect[1]
+            w, h = rect[2], rect[3]
+            new_w, new_h, ox, oy = letterbox_geometry(w, h, dsize, mode)
+            fx = w.astype(jnp.float32) / new_w.astype(jnp.float32)
+            fy = h.astype(jnp.float32) / new_h.astype(jnp.float32)
+            # Coordinates relative to the letterbox sub-rect. Clamp the taps
+            # inside the crop window, then shift into the source frame.
+            qx = jnp.arange(dst_w, dtype=jnp.float32) - ox.astype(jnp.float32)
+            qy = jnp.arange(dst_h, dtype=jnp.float32) - oy.astype(jnp.float32)
+            sx = (qx + 0.5) * fx - 0.5
+            sy = (qy + 0.5) * fy - 0.5
+
+            def clamp_axis(s, n):
+                i0f = jnp.floor(s)
+                wgt = s - i0f
+                i0 = i0f.astype(jnp.int32)
+                wgt = jnp.where(i0 < 0, 0.0, wgt)
+                i0 = jnp.maximum(i0, 0)
+                wgt = jnp.where(i0 >= n - 1, 0.0, wgt)
+                i0 = jnp.minimum(i0, n - 1)
+                i1 = jnp.minimum(i0 + 1, n - 1)
+                return i0, i1, wgt
+
+            i0x, i1x, wx = clamp_axis(sx, w)
+            i0y, i1y, wy = clamp_axis(sy, h)
+            val = _bilinear_sample(
+                plane_src, x0 + i0x, x0 + i1x, wx, y0 + i0y, y0 + i1y, wy
+            )
+            # letterbox mask
+            col = jnp.arange(dst_w, dtype=jnp.int32)
+            row = jnp.arange(dst_h, dtype=jnp.int32)
+            inside = ((col >= ox) & (col < ox + new_w))[None, :, None] & (
+                (row >= oy) & (row < oy + new_h)
+            )[:, None, None]
+            return jnp.where(inside, val, bg)
+
+        rects = jnp.asarray(self.rects, jnp.int32)
+        if self.frame is not None:
+            frame = self.frame.astype(jnp.float32)
+            out = jax.vmap(lambda r: one_plane(r, frame))(rects)
+        else:
+            stack = self.stack.astype(jnp.float32)
+            out = jax.vmap(one_plane)(rects, stack)
+
+        if self.used_planes is not None:
+            n = out.shape[0]
+            z = jnp.arange(n).reshape(n, 1, 1, 1)
+            out = jnp.where(z < self.used_planes, out, bg)
+        return out
+
+    def describe(self) -> str:
+        return (
+            f"BatchResize[{self.num_planes} -> {self.dsize.width}x{self.dsize.height},"
+            f" {self.aspect_ratio.name}]"
+        )
