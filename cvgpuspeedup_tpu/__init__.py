@@ -300,12 +300,15 @@ def warp(
     nch = channels
     if nch is None:
         nch = int(source.shape[-1]) if not isinstance(source, ReadOp) else 3
+    from .ops.warp import decompose_inverse_map
+
+    terms = decompose_inverse_map(inv, dsize)
     return WarpRead(
         source=src,
-        matrix=jnp.asarray(inv, jnp.float32),
         default=_dt.as_channel_vector(default, nch, jnp.float32),
         dsize=dsize,
         warp_type=warp_type,
+        **terms,
     )
 
 

@@ -68,8 +68,11 @@ _CODE_INFO = {
     ColorConversionCode.COLOR_BGRA2GRAY: (4, 1, "gray", (2, 1, 0)),
 }
 
-# OpenCV fixed-point RGB->GRAY coefficients (R2Y, G2Y, B2Y, yuv_shift).
-_R2Y, _G2Y, _B2Y, _GRAY_SHIFT = 4899, 9617, 1868, 14
+# OpenCV fixed-point RGB->GRAY coefficients (R2Y, G2Y, B2Y, shift): round of
+# 0.299/0.587 at 15 bits with B2Y making the row sum 2^15 (determined
+# empirically against cv2 5.0 for bit-exactness; max int32 accumulation
+# 65535 * 2^15 + 2^14 < 2^31, safe for uint16 inputs).
+_R2Y, _G2Y, _B2Y, _GRAY_SHIFT = 9798, 19235, 3735, 15
 
 
 def _alpha_fill(dtype) -> float:

@@ -33,23 +33,34 @@ from ..graph import ReadOp, op, static_field
 from ..types import AspectRatio, InterpolationType, Size
 
 
-def axis_lerp(dst_len: int, src_len, scale):
+def axis_lerp(q, src_len, dst_len):
     """Per-output-index source taps + weight for one axis, OpenCV semantics.
 
-    ``s = (d + 0.5) * scale - 0.5``; ``i0 = floor(s)``; weight ``w = s - i0``;
-    clamped at the borders exactly like ``cv::resize`` INTER_LINEAR
-    (weight forced to 0 when the left tap clamps at either edge).
+    OpenCV computes ``s = (q + 0.5) * (src/dst) - 0.5`` in double. Doubles are
+    slow/emulated on TPU, so we use the exact rational form instead::
 
-    ``src_len`` and ``scale`` may be traced scalars (batched variable-geometry
-    path). Returns ``(i0, i1, w)`` with ``i0/i1`` int32 of shape (dst_len,),
-    ``w`` float32 of shape (dst_len,).
+        s = ((2q + 1) * src - dst) / (2 * dst)
+
+    with integer numerator/denominator: ``i0 = floor_divide(num, den)`` is
+    EXACT, and the fractional weight ``(num - i0*den) / den`` is one
+    correctly-rounded f32 division of exact integers (<= 0.5 ulp). This agrees
+    with cv2's double-then-float weights to ~1 ulp — well inside the 1e-4
+    float contract — where a naive f32 ``(q+0.5)*scale`` drifts to ~1e-3.
+
+    Border clamping matches ``cv::resize`` INTER_LINEAR: weight forced to 0
+    when the left tap clamps at either edge.
+
+    ``q``: int32 output indices (may be offset for letterboxing);
+    ``src_len``/``dst_len``: ints or traced int32 scalars.
+    Returns ``(i0, i1, w)``: int32 taps and f32 weights, shaped like ``q``.
     """
-    d = jnp.arange(dst_len, dtype=jnp.float32)
-    s = (d + 0.5) * jnp.float32(scale) - 0.5
-    i0f = jnp.floor(s)
-    w = s - i0f
-    i0 = i0f.astype(jnp.int32)
+    q = jnp.asarray(q, jnp.int32)
     src_len = jnp.asarray(src_len, jnp.int32)
+    dst_len = jnp.asarray(dst_len, jnp.int32)
+    num = (2 * q + 1) * src_len - dst_len
+    den = 2 * dst_len
+    i0 = jnp.floor_divide(num, den)
+    w = (num - i0 * den).astype(jnp.float32) / den.astype(jnp.float32)
     w = jnp.where(i0 < 0, 0.0, w)
     i0 = jnp.maximum(i0, 0)
     w = jnp.where(i0 >= src_len - 1, 0.0, w)
@@ -133,8 +144,8 @@ class ResizeRead(ReadOp):
             raise ValueError("ResizeRead expects a single (H, W, C) source")
         src_h, src_w = src.shape[0], src.shape[1]
         dst_w, dst_h = self.dsize.width, self.dsize.height
-        i0x, i1x, wx = axis_lerp(dst_w, src_w, src_w / dst_w)
-        i0y, i1y, wy = axis_lerp(dst_h, src_h, src_h / dst_h)
+        i0x, i1x, wx = axis_lerp(jnp.arange(dst_w), src_w, dst_w)
+        i0y, i1y, wy = axis_lerp(jnp.arange(dst_h), src_h, dst_h)
         return _bilinear_sample(src, i0x, i1x, wx, i0y, i1y, wy)
 
     def describe(self) -> str:
@@ -184,28 +195,13 @@ class BatchResizeRead(ReadOp):
             x0, y0 = rect[0], rect[1]
             w, h = rect[2], rect[3]
             new_w, new_h, ox, oy = letterbox_geometry(w, h, dsize, mode)
-            fx = w.astype(jnp.float32) / new_w.astype(jnp.float32)
-            fy = h.astype(jnp.float32) / new_h.astype(jnp.float32)
-            # Coordinates relative to the letterbox sub-rect. Clamp the taps
-            # inside the crop window, then shift into the source frame.
-            qx = jnp.arange(dst_w, dtype=jnp.float32) - ox.astype(jnp.float32)
-            qy = jnp.arange(dst_h, dtype=jnp.float32) - oy.astype(jnp.float32)
-            sx = (qx + 0.5) * fx - 0.5
-            sy = (qy + 0.5) * fy - 0.5
-
-            def clamp_axis(s, n):
-                i0f = jnp.floor(s)
-                wgt = s - i0f
-                i0 = i0f.astype(jnp.int32)
-                wgt = jnp.where(i0 < 0, 0.0, wgt)
-                i0 = jnp.maximum(i0, 0)
-                wgt = jnp.where(i0 >= n - 1, 0.0, wgt)
-                i0 = jnp.minimum(i0, n - 1)
-                i1 = jnp.minimum(i0 + 1, n - 1)
-                return i0, i1, wgt
-
-            i0x, i1x, wx = clamp_axis(sx, w)
-            i0y, i1y, wy = clamp_axis(sy, h)
+            # Coordinates relative to the letterbox sub-rect (exact rational
+            # math, see axis_lerp). Taps clamp inside the crop window, then
+            # shift into the source frame.
+            qx = jnp.arange(dst_w, dtype=jnp.int32) - ox
+            qy = jnp.arange(dst_h, dtype=jnp.int32) - oy
+            i0x, i1x, wx = axis_lerp(qx, w, new_w)
+            i0y, i1y, wy = axis_lerp(qy, h, new_h)
             val = _bilinear_sample(
                 plane_src, x0 + i0x, x0 + i1x, wx, y0 + i0y, y0 + i1y, wy
             )

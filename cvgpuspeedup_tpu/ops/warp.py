@@ -72,31 +72,59 @@ def _sample_constant_border(src_f32, sx, sy, border):
     return h0 * (1.0 - wy) + h1 * wy
 
 
+def decompose_inverse_map(inv: np.ndarray, dsize: Size):
+    """Split the inverse map into per-axis coordinate term vectors (float64 on
+    host, rounded once to f32) — OpenCV's adelta/bdelta decomposition.
+
+    Device-side the coordinate is then ONE f32 add (+ divide for perspective),
+    keeping full precision without float64 on TPU:
+    ``sx(y, x) = col_x[x] + row_x[y]`` etc.
+    """
+    inv = np.asarray(inv, np.float64)
+    xs = np.arange(dsize.width, dtype=np.float64)
+    ys = np.arange(dsize.height, dtype=np.float64)
+    terms = {
+        "col_x": inv[0, 0] * xs,
+        "row_x": inv[0, 1] * ys + inv[0, 2],
+        "col_y": inv[1, 0] * xs,
+        "row_y": inv[1, 1] * ys + inv[1, 2],
+    }
+    if inv.shape[0] == 3:
+        terms["col_w"] = inv[2, 0] * xs
+        terms["row_w"] = inv[2, 1] * ys + inv[2, 2]
+    else:
+        terms["col_w"] = None
+        terms["row_w"] = None
+    return {
+        k: (None if v is None else jnp.asarray(v, jnp.float32)) for k, v in terms.items()
+    }
+
+
 @op
 class WarpRead(ReadOp):
-    """Warp a source read through an inverse map. ``matrix`` is the INVERSE
-    (dst -> src) transform: (2, 3) affine or (3, 3) perspective, float32."""
+    """Warp a source read through an inverse (dst -> src) map, held as
+    precomputed per-axis coordinate terms (see :func:`decompose_inverse_map`)."""
 
     source: ReadOp
-    matrix: jnp.ndarray
+    col_x: jnp.ndarray  # (W,)
+    row_x: jnp.ndarray  # (H,)
+    col_y: jnp.ndarray
+    row_y: jnp.ndarray
+    col_w: object  # (W,) or None (affine)
+    row_w: object
     default: jnp.ndarray  # per-channel border value, float32
     dsize: Size = static_field()
     warp_type: WarpType = static_field()
 
     def lower(self) -> jnp.ndarray:
         src = self.source.lower().astype(jnp.float32)
-        dst_w, dst_h = self.dsize.width, self.dsize.height
-        m = jnp.asarray(self.matrix, jnp.float32)
-        xs = jnp.arange(dst_w, dtype=jnp.float32)[None, :]
-        ys = jnp.arange(dst_h, dtype=jnp.float32)[:, None]
-        if self.warp_type == WarpType.AFFINE:
-            sx = m[0, 0] * xs + m[0, 1] * ys + m[0, 2]
-            sy = m[1, 0] * xs + m[1, 1] * ys + m[1, 2]
-        else:
-            den = m[2, 0] * xs + m[2, 1] * ys + m[2, 2]
+        sx = self.col_x[None, :] + self.row_x[:, None]
+        sy = self.col_y[None, :] + self.row_y[:, None]
+        if self.warp_type == WarpType.PERSPECTIVE:
+            den = self.col_w[None, :] + self.row_w[:, None]
             den = jnp.where(den == 0.0, jnp.float32(1.0), den)
-            sx = (m[0, 0] * xs + m[0, 1] * ys + m[0, 2]) / den
-            sy = (m[1, 0] * xs + m[1, 1] * ys + m[1, 2]) / den
+            sx = sx / den
+            sy = sy / den
         border = jnp.asarray(self.default, jnp.float32)
         return _sample_constant_border(src, sx, sy, border)
 

@@ -1,0 +1,134 @@
+"""Warp affine/perspective parity vs cv2 — the ``tests/warping/`` analog
+(reference ``test_warping_opencv.cu:58-73,185,262-271``).
+
+The reference itself treats perspective border pixels as "EXPECTED_FAIL" vs
+OpenCV/NPP; we mirror that by masking the outermost border ring for the
+perspective comparison and requiring exact-tolerance parity on the interior.
+"""
+
+import cv2
+import numpy as np
+import pytest
+
+import cvgpuspeedup_tpu as cvgs
+from conftest import check_float
+
+
+def _affine_matrix(angle=20.0, scale=0.8, center=(40, 30), shift=(5, -3)):
+    m = cv2.getRotationMatrix2D(center, angle, scale)
+    m[:, 2] += shift
+    return m
+
+
+def _np_warp_affine(img, m, dsize):
+    """Pure-float reference (the semantics our engine and the reference's GPU
+    path implement; cv2 CPU quantizes coords to 1/32 px — INTER_BITS=5 —
+    which the reference classes as EXPECTED_FAIL-level divergence)."""
+    w, h = dsize
+    m = np.asarray(m, np.float64)
+    a = np.linalg.inv(m[:, :2])
+    b = -a @ m[:, 2]
+    # mirror the engine's per-axis decomposition (f64 terms rounded once)
+    xs64 = np.arange(w, dtype=np.float64)
+    ys64 = np.arange(h, dtype=np.float64)
+    col_x = (a[0, 0] * xs64).astype(np.float32)
+    row_x = (a[0, 1] * ys64 + b[0]).astype(np.float32)
+    col_y = (a[1, 0] * xs64).astype(np.float32)
+    row_y = (a[1, 1] * ys64 + b[1]).astype(np.float32)
+    sx = col_x[None, :] + row_x[:, None]
+    sy = col_y[None, :] + row_y[:, None]
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    fx = (sx - x0)[..., None]
+    fy = (sy - y0)[..., None]
+    H, W = img.shape[:2]
+    src = img.astype(np.float32)
+
+    def tap(ix, iy):
+        valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+        v = src[np.clip(iy, 0, H - 1), np.clip(ix, 0, W - 1)]
+        return np.where(valid[..., None], v, 0.0)
+
+    h0 = tap(x0, y0) * (1 - fx) + tap(x0 + 1, y0) * fx
+    h1 = tap(x0, y0 + 1) * (1 - fx) + tap(x0 + 1, y0 + 1) * fx
+    return h0 * (1 - fy) + h1 * fy
+
+
+def test_warp_affine_vs_cv2(rng):
+    img = rng.integers(0, 256, (60, 80, 3)).astype(np.uint8)
+    m = _affine_matrix()
+    out = np.asarray(
+        cvgs.execute_operations(cvgs.warp(img, m, cvgs.Size(80, 60)))
+    )
+    ref = cv2.warpAffine(
+        img.astype(np.float32), m, (80, 60), flags=cv2.INTER_LINEAR,
+        borderMode=cv2.BORDER_CONSTANT, borderValue=0,
+    )
+    # cv2 CPU uses 1/32-px fixed-point coords; bound the divergence it causes
+    # (255 * 2/32 worst case ~ 2e-2; typical well under that).
+    check_float(out, ref, tol=2e-2, msg="warpAffine vs cv2 (quantized oracle)")
+    # tight check vs an exact float reference of the same semantics
+    check_float(out, _np_warp_affine(img, m, (80, 60)), msg="warpAffine float ref (1e-4 contract; XLA FMA vs numpy)")
+
+
+def test_warp_affine_identity(rng):
+    img = rng.integers(0, 256, (32, 48, 3)).astype(np.uint8)
+    m = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    out = np.asarray(cvgs.execute_operations(cvgs.warp(img, m, cvgs.Size(48, 32))))
+    check_float(out, img.astype(np.float32), msg="identity affine")
+
+
+def test_warp_perspective_vs_cv2(rng):
+    img = rng.integers(0, 256, (60, 80, 3)).astype(np.uint8)
+    src_pts = np.float32([[0, 0], [79, 0], [0, 59], [79, 59]])
+    dst_pts = np.float32([[3, 2], [75, 5], [2, 55], [78, 57]])
+    m = cv2.getPerspectiveTransform(src_pts, dst_pts)
+    out = np.asarray(
+        cvgs.execute_operations(
+            cvgs.warp(img, m, cvgs.Size(80, 60), warp_type=cvgs.WarpType.PERSPECTIVE)
+        )
+    )
+    ref = cv2.warpPerspective(
+        img.astype(np.float32), m, (80, 60), flags=cv2.INTER_LINEAR,
+        borderMode=cv2.BORDER_CONSTANT, borderValue=0,
+    )
+    # interior must match; border ring is EXPECTED_FAIL territory in the
+    # reference (test_warping_opencv.cu:73,268-270)
+    check_float(out[2:-2, 2:-2], ref[2:-2, 2:-2], tol=1e-2, msg="warpPerspective interior")
+
+
+def test_warp_then_cast(rng):
+    """warp emits float; append Cast like the reference tests
+    (``test_warping_opencv.cu:63``)."""
+    img = rng.integers(0, 256, (40, 40, 3)).astype(np.uint8)
+    m = _affine_matrix(center=(20, 20), shift=(0, 0))
+    out = np.asarray(
+        cvgs.execute_operations(
+            cvgs.warp(img, m, cvgs.Size(40, 40)), cvgs.convert_to(np.uint8)
+        )
+    )
+    assert out.dtype == np.uint8
+    ref = cv2.warpAffine(img.astype(np.float32), m, (40, 40))
+    ref_u8 = np.clip(np.rint(ref), 0, 255).astype(np.uint8)
+    # float->u8 rounding can flip on ties; allow <=1 lsb on a tiny fraction
+    diff = np.abs(out.astype(np.int32) - ref_u8.astype(np.int32))
+    assert (diff > 1).sum() == 0 and (diff == 1).mean() < 0.01
+
+
+def test_warp_batch_ragged(rng):
+    """Batched warp with per-image matrices + ragged default
+    (reference ``test_warping_opencv.cu:242-247``)."""
+    imgs = rng.integers(0, 256, (4, 40, 40, 3)).astype(np.uint8)
+    mats = [_affine_matrix(angle=10 * i, center=(20, 20), shift=(0, 0)) for i in range(4)]
+    warps = [cvgs.warp(imgs[i], mats[i], cvgs.Size(40, 40)) for i in range(4)]
+    out = np.asarray(
+        cvgs.execute_operations(
+            cvgs.batch_read(warps, used_planes=3, default=7.0)
+        )
+    )
+    for i in range(3):
+        ref = cv2.warpAffine(imgs[i].astype(np.float32), mats[i], (40, 40))
+        check_float(out[i], ref, tol=2e-2, msg=f"batch warp plane {i} (quantized oracle)")
+        check_float(out[i], _np_warp_affine(imgs[i], mats[i], (40, 40)), tol=1e-4,
+                    msg=f"batch warp plane {i} float ref")
+    assert np.all(out[3] == 7.0)
