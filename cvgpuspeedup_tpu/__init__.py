@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -238,10 +239,19 @@ def resize_batch(
     """
     if rects is not None:
         frame = jnp.asarray(source)
+        is_concrete = not isinstance(rects, jax.core.Tracer)
         rect_arr = jnp.asarray(rects, jnp.int32)
         if rect_arr.ndim != 2 or rect_arr.shape[1] != 4:
             raise ValueError("rects must be (N, 4) [x, y, w, h]")
         nch = channels or (frame.shape[-1] if frame.ndim == 3 else 1)
+        max_w = max_h = None
+        if is_concrete:
+            r_np = np.asarray(rects)
+            fh, fw = int(frame.shape[0]), int(frame.shape[1])
+            # bucket to multiples of (8, 32) so rect-size jitter between calls
+            # never recompiles the fused kernel
+            max_w = min(fw, int(-(-int(r_np[:, 2].max()) // 32) * 32))
+            max_h = min(fh, int(-(-int(r_np[:, 3].max()) // 8) * 8))
         return BatchResizeRead(
             frame=frame,
             stack=None,
@@ -251,11 +261,18 @@ def resize_batch(
             dsize=dsize,
             aspect_ratio=aspect_ratio,
             interp=interpolation,
+            max_crop_w=max_w,
+            max_crop_h=max_h,
         )
     imgs = [np.asarray(s) for s in source]
     nch = channels or (imgs[0].shape[-1] if imgs[0].ndim == 3 else 1)
-    max_h = max(i.shape[0] for i in imgs)
-    max_w = max(i.shape[1] for i in imgs)
+    # pad the stack to TPU-tiling-aligned dims (8 rows, 128-lane pixel
+    # boundary) so the Pallas emitter can DMA whole planes
+    import math as _math
+
+    _align = _math.lcm(128, nch) // nch
+    max_h = -(-max(i.shape[0] for i in imgs) // 8) * 8
+    max_w = -(-max(i.shape[1] for i in imgs) // _align) * _align
     stack = np.zeros((len(imgs), max_h, max_w, nch), dtype=imgs[0].dtype)
     rect_list = []
     for z, im in enumerate(imgs):
@@ -272,6 +289,8 @@ def resize_batch(
         dsize=dsize,
         aspect_ratio=aspect_ratio,
         interp=interpolation,
+        max_crop_w=max_w,
+        max_crop_h=max_h,
     )
 
 

@@ -1,39 +1,456 @@
 """Pallas kernel emitter — the hand-scheduled TPU path for hot pipelines.
 
 The XLA path (``Pipeline.lower``) already fuses every pointwise chain into one
-kernel; this module exists for the read patterns XLA cannot schedule optimally:
-the flagship batched variable-geometry resize (reference SURVEY.md §3.2),
-where each plane needs a dynamic HBM window DMA plus gather-free bilinear.
+kernel; this module exists for the read pattern XLA cannot schedule optimally:
+the flagship batched variable-geometry resize (reference SURVEY.md §3.2 —
+``tests/batchresize/test_batchresize_x_split3D.cu:311-324``), where each plane
+needs a dynamic HBM window fetch plus gather-free bilinear.
 
-Design (TPU-first, nothing like the CUDA thread-per-pixel reference):
+Design (TPU-first; deliberately nothing like the CUDA thread-per-pixel model):
 
-- grid = (BATCH,), one program per output plane;
-- per-plane rect/letterbox/scale params are scalar-prefetched into SMEM
-  (the analog of the reference's kernel-parameter array, minus the CUDA 4KB
-  limit that forced its codegen games);
-- the program DMAs the plane's crop window HBM->VMEM (dynamic offset, static
-  bucketed extent);
-- bilinear resize is computed as TWO SMALL MXU MATMULS: a vertical
-  interpolation matrix ``Wv (dstH x srcH)`` and a horizontal one
-  ``Wh (srcW x dstW)`` built on the VPU from the scalar params — banded
-  two-tap rows reproducing exactly the OpenCV half-pixel-center weights of
-  ``ops.resize.axis_lerp``. This keeps the hot loop on the MXU at full
-  precision (HIGHEST, needed for the f32 bit-parity contract) instead of
-  doing 4-point gathers the VPU hates;
-- the pointwise chain runs on the VPU over the resized tile; the write layout
-  (TensorSplit etc.) is emitted directly as the kernel's output indexing.
+- grid = (BATCH,), one program per output plane (TPU grid steps run
+  sequentially on the core, so per-plane work pipelines with the DMAs);
+- per-plane geometry (crop rect, letterbox sub-rect) is **scalar-prefetched**
+  into SMEM — the analog of the reference's per-plane kernel-parameter array
+  (F7), minus CUDA's 4KB parameter limit that forced its codegen games;
+- each program DMAs its crop window HBM->VMEM: dynamic offset, static
+  *bucketed* extent (``max_crop_w/h`` rounded up, so rect jitter between
+  frames never recompiles);
+- bilinear resize is computed as TWO SMALL MXU MATMULS per channel:
+  ``out_c = Wv @ (win @ Wh_c)`` where the banded two-tap interpolation
+  matrices ``Wv (H_out, MAXH)`` / ``Wh_c (MAXW*C, W_out)`` are built on the
+  VPU from the SMEM scalars with the same exact rational coordinate math as
+  the XLA path (``ops.resize.axis_lerp``). ``Wh_c`` also folds the
+  channel de-interleave (rows are masked to ``k % C == c``), so the packed
+  HWC window multiplies straight into planar per-channel tiles — exactly what
+  the TensorSplit DL layout wants. Matmuls run at ``Precision.HIGHEST``
+  (needed for the f32 parity contract; interpolation weights are not bf16-
+  representable);
+- letterbox borders and ragged planes (``z >= used_planes``) select the
+  background value — the reference's CONDITIONAL_WITH_DEFAULT;
+- the pointwise chain then runs on the VPU over planar 2D tiles (see
+  ``_apply_chain_planar``: per-channel scalars, swizzles, GRAY reduction,
+  saturating casts), and the write layout (TensorSplit / TensorTSplit /
+  packed / per-channel buffers) is emitted directly as the kernel's output
+  block indexing. One HBM read of each crop, one HBM write of each output
+  plane — "every memory read is an opportunity for compute".
 
-Status: emitter lands with the flagship pipeline milestone. ``supports``
-gates AUTO dispatch; ``try_lower`` returns None for unsupported patterns so
-the executor falls back to the XLA path with identical numerics.
+Unsupported patterns return None from ``try_lower`` and fall back to the XLA
+path with identical numerics.
 """
 
 from __future__ import annotations
 
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..graph import ComputeOp, FusedCompute
+from ..ops.arithmetic import StaticLoop, _BinaryWithScalar
+from ..ops.cast import Cast, SaturateCast
+from ..ops.color import _CODE_INFO, _B2Y, _G2Y, _GRAY_SHIFT, _R2Y, ColorConversion, VectorReorder
+from ..ops.memory import SplitWrite, TensorSplit, TensorTSplit, TensorWrite, Write2D
+from ..ops.resize import BatchResizeRead, axis_lerp, letterbox_geometry
+from ..types import AspectRatio, InterpolationType
+from ..utils import dtypes as dt
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _lane_align_px(nch: int) -> int:
+    """Pixel alignment such that a pixel offset lands on a 128-lane boundary
+    of the interleaved (W*C) axis: lcm(128, C) / C."""
+    import math
+
+    return math.lcm(128, nch) // nch
+
+
+def _window_geometry(read) -> Optional[dict]:
+    """Static DMA-window geometry for the kernel, or None if the source
+    does not satisfy the TPU tiling alignment (fallback to XLA then).
+
+    DMA slices of a tiled HBM buffer must start on (8 rows, 128 lanes)
+    boundaries, so the window start is rounded down and the residual (dy, dx)
+    shifts the interpolation taps. Standard video dims (720p/1080p/4K/6K) are
+    all aligned; odd sources fall back.
+    """
+    frame_mode = read.frame is not None
+    src = read.frame if frame_mode else read.stack
+    nch = int(src.shape[-1])
+    align = _lane_align_px(nch)
+    if frame_mode:
+        src_h, src_w = int(src.shape[0]), int(src.shape[1])
+        maxh = -(-int(read.max_crop_h) // 8) * 8
+        maxw_al = -(-int(read.max_crop_w) // align) * align
+        win_h = maxh + 8
+        win_w = maxw_al + align
+        if src_h % 8 or src_w % align or src_h < win_h or src_w < win_w:
+            return None
+    else:
+        src_h, src_w = int(src.shape[1]), int(src.shape[2])
+        if src_h % 8 or src_w % align:
+            return None
+        win_h, win_w = src_h, src_w
+    vmem_bytes = win_h * win_w * nch * src.dtype.itemsize
+    if vmem_bytes > 8 * 1024 * 1024:
+        return None
+    return dict(align=align, win_h=win_h, win_w=win_w, src_h=src_h, src_w=src_w)
+
+
+# ---------------------------------------------------------------------------
+# planar application of the pointwise chain (channels as separate 2D tiles)
+# ---------------------------------------------------------------------------
+
+
+def _alpha_fill(dtype):
+    return 1.0 if dt.is_float(dtype) else dt.max_value(dtype)
+
+
+def _apply_chain_planar(chain: Sequence[ComputeOp], planes: List[jnp.ndarray]):
+    """Apply the compute chain to a list of per-channel 2D arrays.
+
+    Semantically identical to applying each op's channel-last ``apply`` on the
+    stacked (H, W, C) value; keeping channels as separate VPU-shaped 2D tiles
+    avoids minor-dim-3 layouts on TPU.
+    """
+    for op in chain:
+        planes = _apply_one_planar(op, planes)
+    return planes
+
+
+def _apply_one_planar(op: ComputeOp, planes: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    if isinstance(op, FusedCompute):
+        return _apply_chain_planar(op.ops, planes)
+    if isinstance(op, StaticLoop):
+        for _ in range(op.n):
+            planes = _apply_one_planar(op.body, planes)
+        return planes
+    if isinstance(op, _BinaryWithScalar):
+        v = jnp.asarray(op.value)
+        out = []
+        for c, x in enumerate(planes):
+            vc = v if v.ndim == 0 else v[c]
+            out.append(type(op)(value=vc).apply(x))
+        return out
+    if isinstance(op, (SaturateCast, Cast)):
+        return [op.apply(x) for x in planes]
+    if isinstance(op, VectorReorder):
+        if len(op.indices) != len(planes):
+            raise ValueError("VectorReorder arity mismatch")
+        return [planes[i] for i in op.indices]
+    if isinstance(op, ColorConversion):
+        return _apply_color_planar(op, planes)
+    raise NotImplementedError(f"op {type(op).__name__} has no planar lowering")
+
+
+def _apply_color_planar(op: ColorConversion, planes: List[jnp.ndarray]):
+    info = _CODE_INFO[op.code]
+    in_c, out_c = info[0], info[1]
+    if len(planes) != in_c:
+        raise ValueError(f"{op.code.name} expects {in_c} channels, got {len(planes)}")
+    x_dtype = planes[0].dtype
+    if info[2] == "gray":
+        r, g, b = (planes[i] for i in info[3])
+        if dt.is_integer(x_dtype):
+            acc = (
+                r.astype(jnp.int32) * _R2Y
+                + g.astype(jnp.int32) * _G2Y
+                + b.astype(jnp.int32) * _B2Y
+                + (1 << (_GRAY_SHIFT - 1))
+            ) >> _GRAY_SHIFT
+            return [acc.astype(x_dtype)]
+        return [
+            r * x_dtype.type(0.299) + g * x_dtype.type(0.587) + b * x_dtype.type(0.114)
+        ]
+    swz = info[2]
+    out = [planes[i] for i in swz]
+    if out_c == 4 and len(swz) == 3:
+        out.append(jnp.full_like(planes[0], _alpha_fill(x_dtype)))
+    return out
+
+
+def _chain_out_struct(chain, num_channels):
+    """(out_channels, out_dtype) of the chain applied to f32 planes."""
+    dummies = [jax.ShapeDtypeStruct((8, 128), jnp.float32)] * num_channels
+
+    def run(planes):
+        return _apply_chain_planar(chain, list(planes))
+
+    outs = jax.eval_shape(run, dummies)
+    return len(outs), outs[0].dtype
+
+
+# ---------------------------------------------------------------------------
+# support predicate
+# ---------------------------------------------------------------------------
+
+_SUPPORTED_WRITES = (TensorSplit, TensorTSplit, TensorWrite, Write2D, SplitWrite)
+
 
 def supports(pipeline) -> bool:
-    return False
+    read = pipeline.read
+    if not isinstance(read, BatchResizeRead):
+        return False
+    if read.interp != InterpolationType.INTER_LINEAR:
+        return False
+    if read.max_crop_w is None or read.max_crop_h is None:
+        return False
+    if not isinstance(pipeline.write, _SUPPORTED_WRITES):
+        return False
+    src = read.frame if read.frame is not None else read.stack
+    if src.ndim != 3 and not (read.stack is not None and src.ndim == 4):
+        return False
+    nch = int(src.shape[-1])
+    if _window_geometry(read) is None:
+        return False
+    # chain runtime params ride the scalar-prefetch section: small 0/1-d only
+    for leaf in jax.tree_util.tree_leaves(tuple(pipeline.compute)):
+        shp = jnp.shape(leaf)
+        if len(shp) > 1 or (shp and shp[0] > 64):
+            return False
+    try:
+        _chain_out_struct(pipeline.compute, nch)
+    except (NotImplementedError, ValueError):
+        return False
+    return True
 
 
 def try_lower(pipeline, *, interpret: bool = False):
-    return None
+    if not supports(pipeline):
+        return None
+    return _emit_batch_resize(pipeline, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# the emitter
+# ---------------------------------------------------------------------------
+
+
+def _emit_batch_resize(pipeline, *, interpret: bool):
+    read: BatchResizeRead = pipeline.read
+    chain = pipeline.compute
+    write = pipeline.write
+
+    dsize = read.dsize
+    h_out, w_out = dsize.height, dsize.width
+    frame_mode = read.frame is not None
+    src = read.frame if frame_mode else read.stack
+    nch = int(src.shape[-1])
+    n_planes = read.num_planes
+    geo = _window_geometry(read)
+    assert geo is not None, "emitter called on unsupported geometry"
+    align = geo["align"]
+    win_h, win_w = geo["win_h"], geo["win_w"]
+    src_h, src_w = geo["src_h"], geo["src_w"]
+    mode = read.aspect_ratio
+
+    out_ch, out_dtype = _chain_out_struct(chain, nch)
+
+    # ---- per-plane geometry params (SMEM scalar prefetch) ----
+    rects = jnp.asarray(read.rects, jnp.int32)
+
+    def geom(rect):
+        new_w, new_h, ox, oy = letterbox_geometry(rect[2], rect[3], dsize, mode)
+        return jnp.stack([rect[0], rect[1], rect[2], rect[3], new_w, new_h, ox, oy])
+
+    params = jax.vmap(geom)(rects)  # (N, 8) i32
+    used = (
+        jnp.full((1,), n_planes, jnp.int32)
+        if read.used_planes is None
+        else jnp.reshape(jnp.asarray(read.used_planes, jnp.int32), (1,))
+    )
+    bg = jnp.asarray(read.background, jnp.float32).reshape(nch)
+
+    # the compute chain's runtime params (scalars / per-channel vectors) ride
+    # the scalar-prefetch section and the chain is rebuilt inside the kernel —
+    # the exact analog of the reference's per-op kernel parameters
+    chain_leaves, chain_def = jax.tree_util.tree_flatten(tuple(chain))
+    leaf_shapes = [jnp.shape(l) for l in chain_leaves]
+    leaf_inputs = [jnp.asarray(l).reshape(-1) for l in chain_leaves]
+    n_leaves = len(leaf_inputs)
+
+    # source as 2D rows of interleaved pixels (layout no-op)
+    if frame_mode:
+        src2d = src.reshape(src_h, src_w * nch)
+    else:
+        src2d = src.reshape(n_planes, src_h, src_w * nch)
+
+    # ---- output layout ----
+    if isinstance(write, TensorSplit):
+        out_shape = jax.ShapeDtypeStruct((n_planes, out_ch, h_out, w_out), out_dtype)
+        out_spec = pl.BlockSpec(
+            (1, out_ch, h_out, w_out), lambda z, *_: (z, 0, 0, 0)
+        )
+    elif isinstance(write, TensorTSplit):
+        out_shape = jax.ShapeDtypeStruct((out_ch, n_planes, h_out, w_out), out_dtype)
+        out_spec = pl.BlockSpec(
+            (out_ch, 1, h_out, w_out), lambda z, *_: (0, z, 0, 0)
+        )
+    elif isinstance(write, (TensorWrite, Write2D)):
+        out_shape = jax.ShapeDtypeStruct((n_planes, h_out, w_out, out_ch), out_dtype)
+        out_spec = pl.BlockSpec(
+            (1, h_out, w_out, out_ch), lambda z, *_: (z, 0, 0, 0)
+        )
+    else:  # SplitWrite
+        out_shape = tuple(
+            jax.ShapeDtypeStruct((n_planes, h_out, w_out), out_dtype)
+            for _ in range(out_ch)
+        )
+        out_spec = tuple(
+            pl.BlockSpec((1, h_out, w_out), lambda z, *_: (z, 0, 0))
+            for _ in range(out_ch)
+        )
+
+    lanes = win_w * nch
+
+    def kernel(params_ref, used_ref, bg_ref, *refs):
+        leaf_refs = refs[:n_leaves]
+        src_ref = refs[n_leaves]
+        rest = refs[n_leaves + 1 :]
+        if isinstance(out_shape, tuple):
+            out_refs = rest[: len(out_shape)]
+            window, sem = rest[len(out_shape) :]
+        else:
+            out_refs = rest[:1]
+            window, sem = rest[1:]
+
+        # rebuild the compute chain with in-kernel parameter values
+        leaf_vals = []
+        for ref, shp in zip(leaf_refs, leaf_shapes):
+            if shp == ():
+                leaf_vals.append(ref[0])
+            else:
+                leaf_vals.append(jnp.stack([ref[i] for i in range(int(shp[0]))]))
+        chain_k = jax.tree_util.tree_unflatten(chain_def, leaf_vals)
+
+        z = pl.program_id(0)
+        x0 = params_ref[z, 0]
+        y0 = params_ref[z, 1]
+        w = params_ref[z, 2]
+        h = params_ref[z, 3]
+        new_w = params_ref[z, 4]
+        new_h = params_ref[z, 5]
+        ox = params_ref[z, 6]
+        oy = params_ref[z, 7]
+
+        if frame_mode:
+            # Window start rounds down to the DMA-legal (8-row, 128-lane)
+            # grid; the residual (dy, dx) shifts the interpolation taps.
+            # src dims are aligned (checked in _window_geometry), so the
+            # clamped start stays legal and the window always covers
+            # [y0, y0+h) x [x0, x0+w).
+            ys = jnp.minimum((y0 // 8) * 8, src_h - win_h)
+            xs = jnp.minimum((x0 // align) * align, src_w - win_w)
+            dy = y0 - ys
+            dx = x0 - xs
+            src_slice = src_ref.at[
+                pl.ds(pl.multiple_of(ys, 8), win_h),
+                pl.ds(pl.multiple_of(xs * nch, 128), lanes),
+            ]
+        else:
+            dy = jnp.int32(0)
+            dx = jnp.int32(0)
+            src_slice = src_ref.at[z]
+        dma = pltpu.make_async_copy(src_slice, window, sem)
+        dma.start()
+        dma.wait()
+
+        # ---- interpolation matrices (exact rational weights, see axis_lerp)
+        # vertical: (H_out, MAXH)
+        row = jax.lax.broadcasted_iota(jnp.int32, (h_out, 1), 0)
+        qy = row - oy
+        iy0, iy1, wy = axis_lerp(qy, h, new_h)
+        row_in = ((qy >= 0) & (qy < new_h)).astype(jnp.float32)
+        ky = jax.lax.broadcasted_iota(jnp.int32, (h_out, win_h), 1)
+        wv = (
+            (ky == iy0 + dy) * (1.0 - wy) + (ky == iy1 + dy) * wy
+        ) * row_in
+
+        # horizontal: taps along the interleaved lane axis, one matrix per
+        # output channel: rows k = x * C + c
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, w_out), 1)
+        qx = col - ox
+        ix0, ix1, wx = axis_lerp(qx, w, new_w)
+        col_in = ((qx >= 0) & (qx < new_w)).astype(jnp.float32)
+        k_x = jax.lax.broadcasted_iota(jnp.int32, (lanes, w_out), 0) // nch
+        k_c = jax.lax.broadcasted_iota(jnp.int32, (lanes, w_out), 0) % nch
+
+        win = window[:]
+        if dt.is_integer(win.dtype):
+            # Mosaic has no direct u8->f32 cast; widen via int32 first
+            win = win.astype(jnp.int32)
+        win = win.astype(jnp.float32)
+
+        active = (z < used_ref[0]).astype(jnp.float32)
+        inside = (row_in * col_in) * active  # (H_out, W_out)
+
+        planes = []
+        for c in range(nch):
+            wh_c = (
+                ((k_x == ix0 + dx) * (1.0 - wx) + (k_x == ix1 + dx) * wx)
+                * (k_c == c)
+                * col_in
+            )
+            tmp = jax.lax.dot_general(
+                win, wh_c, (((1,), (0,)), ((), ())), precision=_HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # (win_h, W_out)
+            val = jax.lax.dot_general(
+                wv, tmp, (((1,), (0,)), ((), ())), precision=_HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # (H_out, W_out)
+            val = val * inside + bg_ref[c] * (1.0 - inside)
+            planes.append(val)
+
+        planes = _apply_chain_planar(chain_k, planes)
+
+        if isinstance(write, TensorSplit):
+            for c, p in enumerate(planes):
+                out_refs[0][0, c] = p
+        elif isinstance(write, TensorTSplit):
+            for c, p in enumerate(planes):
+                out_refs[0][c, 0] = p
+        elif isinstance(write, (TensorWrite, Write2D)):
+            out_refs[0][0] = jnp.stack(planes, axis=-1)
+        else:  # SplitWrite
+            for c, p in enumerate(planes):
+                out_refs[c][0] = p
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3 + n_leaves,
+        grid=(n_planes,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.VMEM((win_h, lanes), src.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    out_bytes = (
+        sum(int(np.prod(o.shape)) * o.dtype.itemsize for o in out_shape)
+        if isinstance(out_shape, tuple)
+        else int(np.prod(out_shape.shape)) * out_shape.dtype.itemsize
+    )
+    cost = pl.CostEstimate(
+        flops=2 * n_planes * nch * (win_h * lanes * w_out + h_out * win_h * w_out),
+        bytes_accessed=n_planes * win_h * lanes * src.dtype.itemsize + out_bytes,
+        transcendentals=0,
+    )
+
+    result = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        cost_estimate=cost,
+    )(params, used, bg, *leaf_inputs, src2d)
+
+    if isinstance(write, Write2D) and not isinstance(write, TensorWrite):
+        return result  # packed batch output (N, H, W, C)
+    return result

@@ -178,6 +178,12 @@ class BatchResizeRead(ReadOp):
     dsize: Size = static_field()
     aspect_ratio: AspectRatio = static_field(default=AspectRatio.IGNORE_AR)
     interp: InterpolationType = static_field(default=InterpolationType.INTER_LINEAR)
+    # Static crop-window bucket (rounded-up max rect dims) — set by the factory
+    # when rects are concrete. Used by the Pallas emitter to size the per-plane
+    # VMEM window DMA; the analog of the reference's compile-time batch/param
+    # geometry, bucketed so jiggling rect sizes never recompiles.
+    max_crop_w: Optional[int] = static_field(default=None)
+    max_crop_h: Optional[int] = static_field(default=None)
 
     batched = True
 

@@ -1,0 +1,139 @@
+"""Multi-chip / multi-host batch sharding of fused pipelines.
+
+The reference is single-GPU (SURVEY.md §0.5); multi-device scaling is new
+TPU-native scope (BASELINE north star): the batch (plane) axis of a fused
+pipeline shards across a ``jax.sharding.Mesh``, each device runs the SAME
+fused kernel on its plane slice (embarrassingly parallel — each image's
+pipeline is independent), and collectives appear only where an output tensor
+must be reassembled or metrics reduced (SURVEY.md §5.8).
+
+Entry points:
+
+- :func:`make_mesh` — 1-D device mesh over the batch axis (multi-host: pass
+  ``jax.devices()`` after ``jax.distributed.initialize``; ICI/DCN routing is
+  XLA's job once shardings are annotated).
+- :func:`execute_sharded` — ``execute_operations`` over a mesh: per-plane
+  parameter leaves (rects, stacked sources) are partitioned, broadcast leaves
+  (the shared frame, scalars) replicate, ragged ``used_planes`` is rebased
+  per shard, and the write layout determines the output partition axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.6 exposes shard_map at the top level
+    from jax import shard_map as _shard_map_fn
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map_fn(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map_legacy
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map_legacy(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+from ..exec.executor import Pipeline, _lower_with_backend, build_pipeline
+from ..graph import IOp
+from ..ops.memory import ImageRead, SplitWrite, TensorTSplit
+from ..ops.resize import BatchResizeRead
+from ..types import ParBackend
+
+__all__ = ["make_mesh", "execute_sharded", "scaling_efficiency"]
+
+#: pipeline-leaf field names that carry the plane (batch) axis as dim 0
+_PLANE_AXIS_FIELDS = ("rects", "stack", "data")
+
+
+def make_mesh(n: Optional[int] = None, axis: str = "batch", devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if n is not None:
+        devices = devices[:n]
+    return Mesh(np.array(devices), (axis,))
+
+
+def _leaf_spec(path, axis: str):
+    names = {getattr(p, "name", None) for p in path}
+    if names & set(_PLANE_AXIS_FIELDS):
+        return P(axis)
+    return P()
+
+
+def execute_sharded(
+    *iops: IOp,
+    mesh: Mesh,
+    input=None,
+    backend: ParBackend = ParBackend.AUTO,
+):
+    """Run a batched fused pipeline with its plane axis sharded over ``mesh``.
+
+    The plane count must divide the mesh size. Returns a globally-sharded
+    array (jax.Array with NamedSharding); callers on a multi-host pod see
+    their local shard, exactly the host-local-output model the north star
+    prescribes.
+    """
+    axis = mesh.axis_names[0]
+    nsh = mesh.shape[axis]
+    pipeline = build_pipeline(*iops, input=input)
+    read = pipeline.read
+    if not read.batched:
+        raise ValueError("execute_sharded needs a batched read op")
+    if isinstance(read, ImageRead):
+        n_planes = int(read.data.shape[0])
+    elif isinstance(read, BatchResizeRead):
+        n_planes = read.num_planes
+    else:
+        raise NotImplementedError(
+            f"sharding of {type(read).__name__} is not supported (its plane "
+            "semantics are not a plain partition)"
+        )
+    if n_planes % nsh:
+        raise ValueError(f"plane count {n_planes} must divide mesh size {nsh}")
+    local_n = n_planes // nsh
+
+    if backend == ParBackend.AUTO:
+        backend = ParBackend.XLA if jax.default_backend() != "tpu" else ParBackend.PALLAS
+
+    leaves_path, treedef = jax.tree_util.tree_flatten_with_path(pipeline)
+    specs = tuple(_leaf_spec(path, axis) for path, _ in leaves_path)
+    leaves = tuple(leaf for _, leaf in leaves_path)
+
+    # output partition follows the write layout's plane axis
+    if isinstance(pipeline.write, TensorTSplit):
+        out_spec = P(None, axis)
+    elif isinstance(pipeline.write, SplitWrite):
+        nch_probe = jax.eval_shape(
+            lambda ls: _lower_with_backend(
+                jax.tree_util.tree_unflatten(treedef, ls), ParBackend.XLA
+            ),
+            list(leaves),
+        )
+        out_spec = tuple(P(axis) for _ in nch_probe)
+    else:
+        out_spec = P(axis)
+
+    def local_run(*lv):
+        p: Pipeline = jax.tree_util.tree_unflatten(treedef, list(lv))
+        rd = p.read
+        if isinstance(rd, BatchResizeRead) and rd.used_planes is not None:
+            # rebase the global ragged count onto this shard's plane range
+            idx = jax.lax.axis_index(axis)
+            local_used = jnp.clip(rd.used_planes - idx * local_n, 0, local_n)
+            rd = dataclasses.replace(rd, used_planes=local_used)
+            p = dataclasses.replace(p, read=rd)
+        return _lower_with_backend(p, backend)
+
+    fn = shard_map(local_run, mesh, in_specs=specs, out_specs=out_spec)
+    with mesh:
+        return jax.jit(fn)(*leaves)
+
+
+def scaling_efficiency(images_per_sec_n: float, images_per_sec_1: float, n: int) -> float:
+    """Linear-scaling efficiency metric from the north star (>= 0.85 target)."""
+    return images_per_sec_n / (n * images_per_sec_1)
