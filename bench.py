@@ -6,15 +6,18 @@ split3D.cu:311-324``): 3840x2160 uint8 frame -> 50 variable crops (60x120 at
 offset (i, i)) -> bilinear resize to 64x128 -> convertTo(float, 0.3) ->
 subtract -> divide -> planar TensorSplit, as ONE fused Pallas kernel.
 
-Protocol mirrors the reference benchmark harness (``tests/testsCommon.cuh:
-122-195``): warmup + 100 timed iterations. Iterations run inside a single
-jitted ``lax.scan`` with per-iteration rect jitter, so host/tunnel dispatch
-does not pollute device time (the analog of CUDA-event timing). The baseline
-is the same math issued as one device program per op per crop (the 250-launch
-pattern cvGPUSpeedup replaces — ``README.md:90-98``).
+Timing protocol (reference harness analog, ``tests/testsCommon.cuh:122-195``
+— warmup + ~100 timed iterations) adapted to this environment's reality:
+through the axon tunnel ``block_until_ready`` returns before execution
+finishes and only a device->host transfer observes completion (first
+transfer warms the path in O(1 min), later syncs are ~0.1 s). Device time
+per iteration is therefore measured DIFFERENTIALLY: one jitted ``lax.scan``
+of N iterations (rect-jittered so nothing hoists), synced by a single scalar
+``device_get``; t_iter = (T(N2) - T(N1)) / (N2 - N1) cancels the constant
+dispatch+transfer latency.
 
-NOTE: device->host transfers hang through the axon tunnel, so all timing uses
-``block_until_ready`` only; no result values are fetched.
+Baseline: the same math issued as one device program per op per crop — the
+250-launch pattern cvGPUSpeedup replaces (``README.md:90-98``).
 
 Prints ONE JSON line: {"metric", "value" (images/sec/chip), "unit",
 "vs_baseline" (fused-vs-unfused speedup)}.
@@ -32,14 +35,19 @@ import cvgpuspeedup_tpu as cvgs
 from cvgpuspeedup_tpu.exec import pallas_backend
 
 BATCH = 50
-ITERS = 100
 SRC_H, SRC_W = 2160, 3840
 UP = cvgs.Size(64, 128)
 ALPHA, SUB, DIV = 0.3, (3.2, 0.6, 11.8), (128.0, 128.0, 128.0)
+N_SMALL, N_LARGE = 10, 110
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def sync(x):
+    """Real device sync: a scalar transfer (block_until_ready lies here)."""
+    return jax.device_get(jnp.ravel(jax.tree_util.tree_leaves(x)[0])[0])
 
 
 def build_pipeline(frame, rects):
@@ -52,8 +60,7 @@ def build_pipeline(frame, rects):
     )
 
 
-def timed_scan(pipeline, lower_fn, iters):
-    """Time `iters` kernel invocations inside one jitted scan (device time)."""
+def make_scan_runner(pipeline, lower_fn, iters):
     leaves, treedef = jax.tree_util.tree_flatten(pipeline)
     leaves = [jax.device_put(l) for l in leaves]
     rect_idx = next(
@@ -77,56 +84,59 @@ def timed_scan(pipeline, lower_fn, iters):
         total, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(iters))
         return total
 
-    run_n(leaves).block_until_ready()  # compile + warmup
-    t0 = time.perf_counter()
-    run_n(leaves).block_until_ready()
-    dt = time.perf_counter() - t0
-    return dt / iters
+    return lambda: run_n(leaves)
+
+
+def differential_time(pipeline, lower_fn):
+    times = {}
+    for n in (N_SMALL, N_LARGE):
+        run = make_scan_runner(pipeline, lower_fn, n)
+        sync(run())  # compile + warmup
+        t0 = time.perf_counter()
+        sync(run())
+        times[n] = time.perf_counter() - t0
+    t_iter = max(times[N_LARGE] - times[N_SMALL], 1e-9) / (N_LARGE - N_SMALL)
+    log(f"  T({N_SMALL})={times[N_SMALL]*1e3:.1f}ms T({N_LARGE})={times[N_LARGE]*1e3:.1f}ms")
+    return t_iter
 
 
 def unfused_baseline(frame_dev, rects_np, reps=3):
-    """The 5-programs-per-crop launch pattern (250 dispatches per batch)."""
+    """The 5-programs-per-crop launch pattern (250 dispatches per batch),
+    synced end-to-end — the 'customer timeline' comparison (README.md:146)."""
 
     @jax.jit
-    def op_resize(fr, x, y, w, h):
+    def op_resize(fr, rect):
         return cvgs.execute_operations(
-            cvgs.resize_batch(fr, rects=jnp.stack([x, y, w, h])[None, :], dsize=UP),
+            cvgs.resize_batch(fr, rects=rect[None, :], dsize=UP),
             backend=cvgs.ParBackend.XLA,
         )
 
-    @jax.jit
-    def op_convert(t):
-        return t * np.float32(ALPHA)
+    op_convert = jax.jit(lambda t: t * np.float32(ALPHA))
+    op_sub = jax.jit(lambda t: t - jnp.asarray(SUB, jnp.float32))
+    op_div = jax.jit(lambda t: t / jnp.asarray(DIV, jnp.float32))
+    op_split = jax.jit(lambda t: jnp.transpose(t, (0, 3, 1, 2)))
+
+    rects_dev = [jax.device_put(r) for r in rects_np]
 
     @jax.jit
-    def op_sub(t):
-        return t - jnp.asarray(SUB, jnp.float32)
-
-    @jax.jit
-    def op_div(t):
-        return t / jnp.asarray(DIV, jnp.float32)
-
-    @jax.jit
-    def op_split(t):
-        return jnp.transpose(t, (0, 3, 1, 2))
+    def probe_all(outs):
+        return sum(o.ravel()[0] for o in outs)
 
     def one_batch():
         outs = []
-        for (x, y, w, h) in rects_np:
-            t = op_resize(frame_dev, jnp.int32(x), jnp.int32(y), jnp.int32(w), jnp.int32(h))
+        for r in rects_dev:
+            t = op_resize(frame_dev, r)
             t = op_convert(t)
             t = op_sub(t)
             t = op_div(t)
             outs.append(op_split(t))
         return outs
 
-    for o in one_batch():
-        o.block_until_ready()  # warmup/compile
+    sync(probe_all(one_batch()))  # compile + warmup
     t0 = time.perf_counter()
     for _ in range(reps):
         outs = one_batch()
-    for o in outs:
-        o.block_until_ready()
+    sync(probe_all(outs))
     return (time.perf_counter() - t0) / reps
 
 
@@ -138,7 +148,11 @@ def main():
     frame = rng.integers(0, 256, (SRC_H, SRC_W, 3)).astype(np.uint8)
     rects = np.array([[i, i, 60, 120] for i in range(BATCH)], np.int32)
     frame_dev = jax.device_put(frame)
-    frame_dev.block_until_ready()
+
+    log("warming device->host transfer path (can take ~1-4 min once)...")
+    t0 = time.perf_counter()
+    sync(jnp.sum(frame_dev))
+    log(f"transfer path warm in {time.perf_counter()-t0:.1f}s")
 
     pipeline = build_pipeline(frame_dev, rects)
     use_pallas = platform == "tpu" and pallas_backend.supports(pipeline)
@@ -147,23 +161,25 @@ def main():
         fused_lower = lambda p: pallas_backend.try_lower(p, interpret=False)
     else:
         fused_lower = lambda p: p.lower()
-    t_fused = timed_scan(pipeline, fused_lower, ITERS)
-    log(f"fused ({'pallas' if use_pallas else 'xla'}): {t_fused*1e3:.3f} ms/batch")
+    t_fused = differential_time(pipeline, fused_lower)
+    log(f"fused ({'pallas' if use_pallas else 'xla'}): {t_fused*1e6:.1f} us/batch")
 
-    t_xla = timed_scan(pipeline, lambda p: p.lower(), ITERS)
-    log(f"fused xla path: {t_xla*1e3:.3f} ms/batch")
+    t_xla = differential_time(pipeline, lambda p: p.lower())
+    log(f"fused xla path: {t_xla*1e6:.1f} us/batch")
 
     t_unfused = unfused_baseline(frame_dev, rects)
-    log(f"unfused 250-dispatch baseline: {t_unfused*1e3:.1f} ms/batch")
+    log(f"unfused 250-dispatch baseline: {t_unfused*1e3:.2f} ms/batch")
 
     images_per_sec = BATCH / t_fused
     speedup = t_unfused / t_fused
 
-    # HBM roofline sanity: bytes touched per batch
-    window_bytes = BATCH * 128 * 768  # per-plane DMA windows (u8)
+    # HBM roofline sanity: bytes touched per batch (per-plane DMA windows +
+    # planar f32 outputs) at v5e ~819 GB/s
+    window_bytes = BATCH * 128 * 768
     out_bytes = BATCH * 3 * 128 * 64 * 4
-    roofline_s = (window_bytes + out_bytes) / 800e9  # v5e ~819 GB/s
-    log(f"ideal HBM time {roofline_s*1e6:.1f} us/batch; achieved {t_fused*1e6:.1f} us")
+    roofline_s = (window_bytes + out_bytes) / 819e9
+    log(f"ideal HBM time {roofline_s*1e6:.1f} us/batch; achieved {t_fused*1e6:.1f} us "
+        f"({roofline_s/t_fused*100:.0f}% of roofline)")
 
     print(json.dumps({
         "metric": "images_per_sec_chip_50crop_resize_normalize_split",

@@ -329,6 +329,37 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
         chain_k = jax.tree_util.tree_unflatten(chain_def, leaf_vals)
 
         z = pl.program_id(0)
+
+        def plane_dma(i, slot):
+            """DMA for plane i into ring slot: dynamic window, legal offsets."""
+            if frame_mode:
+                # Window start rounds down to the DMA-legal (8-row, 128-lane)
+                # grid; the residual (dy, dx) shifts the interpolation taps.
+                # src dims are aligned (checked in _window_geometry), so the
+                # clamped start stays legal and the window always covers
+                # [y0, y0+h) x [x0, x0+w).
+                yi = params_ref[i, 1]
+                xi = params_ref[i, 0]
+                ys_i = jnp.minimum((yi // 8) * 8, src_h - win_h)
+                xs_i = jnp.minimum((xi // align) * align, src_w - win_w)
+                src_slice = src_ref.at[
+                    pl.ds(pl.multiple_of(ys_i, 8), win_h),
+                    pl.ds(pl.multiple_of(xs_i * nch, 128), lanes),
+                ]
+            else:
+                src_slice = src_ref.at[i]
+            return pltpu.make_async_copy(src_slice, window.at[slot], sem.at[slot])
+
+        # double-buffered crop-window pipeline across grid steps: program z
+        # waits on the DMA issued at step z-1 while step z+1's is in flight
+        @pl.when(z == 0)
+        def _():
+            plane_dma(0, 0).start()
+
+        @pl.when(z + 1 < n_planes)
+        def _():
+            plane_dma(z + 1, (z + 1) % 2).start()
+
         x0 = params_ref[z, 0]
         y0 = params_ref[z, 1]
         w = params_ref[z, 2]
@@ -337,31 +368,16 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
         new_h = params_ref[z, 5]
         ox = params_ref[z, 6]
         oy = params_ref[z, 7]
-
         if frame_mode:
-            # Window start rounds down to the DMA-legal (8-row, 128-lane)
-            # grid; the residual (dy, dx) shifts the interpolation taps.
-            # src dims are aligned (checked in _window_geometry), so the
-            # clamped start stays legal and the window always covers
-            # [y0, y0+h) x [x0, x0+w).
-            ys = jnp.minimum((y0 // 8) * 8, src_h - win_h)
-            xs = jnp.minimum((x0 // align) * align, src_w - win_w)
-            dy = y0 - ys
-            dx = x0 - xs
-            src_slice = src_ref.at[
-                pl.ds(pl.multiple_of(ys, 8), win_h),
-                pl.ds(pl.multiple_of(xs * nch, 128), lanes),
-            ]
+            dy = y0 - jnp.minimum((y0 // 8) * 8, src_h - win_h)
+            dx = x0 - jnp.minimum((x0 // align) * align, src_w - win_w)
         else:
             dy = jnp.int32(0)
             dx = jnp.int32(0)
-            src_slice = src_ref.at[z]
-        dma = pltpu.make_async_copy(src_slice, window, sem)
-        dma.start()
-        dma.wait()
 
-        # ---- interpolation matrices (exact rational weights, see axis_lerp)
-        # vertical: (H_out, MAXH)
+        # ---- interpolation matrices (exact rational weights, see axis_lerp),
+        # built on the VPU while the DMA flies
+        # vertical: (H_out, win_h)
         row = jax.lax.broadcasted_iota(jnp.int32, (h_out, 1), 0)
         qy = row - oy
         iy0, iy1, wy = axis_lerp(qy, h, new_h)
@@ -371,39 +387,48 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
             (ky == iy0 + dy) * (1.0 - wy) + (ky == iy1 + dy) * wy
         ) * row_in
 
-        # horizontal: taps along the interleaved lane axis, one matrix per
-        # output channel: rows k = x * C + c
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, w_out), 1)
-        qx = col - ox
+        # horizontal: ONE wide matrix (lanes, C*W_out), channel-major columns
+        # j = c*W_out + xo; rows are interleaved lanes k = x*C + c. Folds the
+        # per-channel de-interleave and all three interpolations into a
+        # single MXU matmul.
+        col2 = jax.lax.broadcasted_iota(jnp.int32, (1, nch * w_out), 1)
+        xo2 = col2 % w_out
+        cc2 = col2 // w_out
+        qx = xo2 - ox
         ix0, ix1, wx = axis_lerp(qx, w, new_w)
-        col_in = ((qx >= 0) & (qx < new_w)).astype(jnp.float32)
-        k_x = jax.lax.broadcasted_iota(jnp.int32, (lanes, w_out), 0) // nch
-        k_c = jax.lax.broadcasted_iota(jnp.int32, (lanes, w_out), 0) % nch
+        col_in2 = ((qx >= 0) & (qx < new_w)).astype(jnp.float32)
+        kk = jax.lax.broadcasted_iota(jnp.int32, (lanes, nch * w_out), 0)
+        wh_all = (
+            ((kk // nch == ix0 + dx) * (1.0 - wx) + (kk // nch == ix1 + dx) * wx)
+            * (kk % nch == cc2)
+            * col_in2
+        )
 
-        win = window[:]
+        plane_dma(z, z % 2).wait()
+        win = window[z % 2]
         if dt.is_integer(win.dtype):
             # Mosaic has no direct u8->f32 cast; widen via int32 first
             win = win.astype(jnp.int32)
         win = win.astype(jnp.float32)
 
+        tmp = jax.lax.dot_general(
+            win, wh_all, (((1,), (0,)), ((), ())), precision=_HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (win_h, C*W_out)
+        vals = jax.lax.dot_general(
+            wv, tmp, (((1,), (0,)), ((), ())), precision=_HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (H_out, C*W_out)
+
         active = (z < used_ref[0]).astype(jnp.float32)
-        inside = (row_in * col_in) * active  # (H_out, W_out)
+        col_in_c = ((jax.lax.broadcasted_iota(jnp.int32, (1, w_out), 1) - ox >= 0)
+                    & (jax.lax.broadcasted_iota(jnp.int32, (1, w_out), 1) - ox < new_w)
+                    ).astype(jnp.float32)
+        inside = (row_in * col_in_c) * active  # (H_out, W_out)
 
         planes = []
         for c in range(nch):
-            wh_c = (
-                ((k_x == ix0 + dx) * (1.0 - wx) + (k_x == ix1 + dx) * wx)
-                * (k_c == c)
-                * col_in
-            )
-            tmp = jax.lax.dot_general(
-                win, wh_c, (((1,), (0,)), ((), ())), precision=_HIGHEST,
-                preferred_element_type=jnp.float32,
-            )  # (win_h, W_out)
-            val = jax.lax.dot_general(
-                wv, tmp, (((1,), (0,)), ((), ())), precision=_HIGHEST,
-                preferred_element_type=jnp.float32,
-            )  # (H_out, W_out)
+            val = vals[:, c * w_out : (c + 1) * w_out]
             val = val * inside + bg_ref[c] * (1.0 - inside)
             planes.append(val)
 
@@ -427,8 +452,8 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((win_h, lanes), src.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, win_h, lanes), src.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 

@@ -1,0 +1,157 @@
+"""Preset end-to-end pipelines — the framework's "model families".
+
+The reference is consumed by DL inference / SLAM front-ends (``README.md:
+90-155``); these presets package its three canonical deployment pipelines
+with one-call APIs:
+
+- :func:`detection_preprocessor` — the flagship: N detection crops of one
+  frame -> fused resize+normalize+planar split (SURVEY.md §3.2).
+- :func:`temporal_window` — CircularTensor-based sliding window feeding
+  temporal models (SURVEY.md §3.3, ``README.md:149-155``).
+- :func:`camera_pipeline` — NV12 camera frames -> RGB(A) (+ optional
+  resize), the "ComputeWhatYouSee" path (``tests/resize/test_fused_resize.cu``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import numpy as np
+
+from .. import (
+    AspectRatio,
+    CircularTensorOrder,
+    ColorPlanes,
+    ColorRange,
+    ColorStandard,
+    ParBackend,
+    PixelFormat,
+    Size,
+    CircularTensor,
+    convert_to,
+    convert_yuv_to_rgb,
+    divide,
+    execute_operations,
+    fuse,
+    image,
+    read_yuv,
+    resize,
+    resize_batch,
+    split_tensor,
+    subtract,
+)
+
+
+class detection_preprocessor:
+    """Fused N-crop detection preprocessing: one kernel per frame batch.
+
+    >>> prep = detection_preprocessor(dsize=Size(64, 128), mean=(127.5,)*3,
+    ...                               scale=(128.0,)*3, alpha=1.0)
+    >>> planar = prep(frame, rects, n_valid)   # (N, C, 128, 64) float32
+    """
+
+    def __init__(
+        self,
+        dsize: Size,
+        mean: Union[float, Sequence[float]] = 0.0,
+        scale: Union[float, Sequence[float]] = 1.0,
+        alpha: float = 1.0,
+        background: Union[float, Sequence[float]] = 0.0,
+        aspect_ratio: AspectRatio = AspectRatio.IGNORE_AR,
+        backend: ParBackend = ParBackend.AUTO,
+    ):
+        self.dsize = dsize
+        self.mean = mean
+        self.scale = scale
+        self.alpha = alpha
+        self.background = background
+        self.aspect_ratio = aspect_ratio
+        self.backend = backend
+
+    def __call__(self, frame, rects, used_planes=None):
+        return execute_operations(
+            resize_batch(
+                frame, rects=rects, dsize=self.dsize,
+                used_planes=used_planes, background=self.background,
+                aspect_ratio=self.aspect_ratio,
+            ),
+            convert_to(np.float32, alpha=self.alpha),
+            subtract(self.mean),
+            divide(self.scale),
+            split_tensor(),
+            backend=self.backend,
+        )
+
+
+class temporal_window:
+    """Sliding temporal window: push frames, read the (BATCH, C, H, W) ring.
+
+    Each ``push`` runs resize+normalize on the new frame and shifts the ring
+    in ONE fused device program (CircularTensor semantics, reference F10).
+    """
+
+    def __init__(
+        self,
+        window: int,
+        dsize: Size,
+        channels: int = 3,
+        alpha: float = 1.0 / 255.0,
+        order: CircularTensorOrder = CircularTensorOrder.NEWEST_FIRST,
+        planes: ColorPlanes = ColorPlanes.STANDARD,
+    ):
+        self.dsize = dsize
+        self.alpha = alpha
+        self.ring = CircularTensor(
+            width=dsize.width, height=dsize.height, channels=channels,
+            batch=window, order=order, planes=planes, dtype=np.float32,
+        )
+
+    def push(self, frame):
+        self.ring.update(
+            resize(image(np.asarray(frame)), self.dsize),
+            convert_to(np.float32, alpha=self.alpha),
+        )
+        return self.ring.tensor
+
+    @property
+    def tensor(self):
+        return self.ring.tensor
+
+
+class camera_pipeline:
+    """NV12 camera frame -> RGB(A), optionally fused with a resize
+    ("ComputeWhatYouSee": conversion happens inside the fused read)."""
+
+    def __init__(
+        self,
+        standard: ColorStandard = ColorStandard.BT601,
+        color_range: ColorRange = ColorRange.FULL,
+        alpha: bool = False,
+        out_size: Optional[Size] = None,
+        pixel_format: PixelFormat = PixelFormat.NV12,
+    ):
+        self.standard = standard
+        self.color_range = color_range
+        self.alpha = alpha
+        self.out_size = out_size
+        self.pixel_format = pixel_format
+
+    def __call__(self, nv12_buffer):
+        virtual = fuse(
+            read_yuv(nv12_buffer, pixel_format=self.pixel_format),
+            convert_yuv_to_rgb(
+                color_range=self.color_range, standard=self.standard,
+                alpha=False, out_dtype=np.float32,
+            ),
+        )
+        if self.out_size is not None:
+            ops = [resize(virtual, self.out_size), convert_to(np.uint8)]
+        else:
+            ops = [virtual, convert_to(np.uint8)]
+        out = execute_operations(*ops)
+        if self.alpha:
+            import jax.numpy as jnp
+
+            a = jnp.full(out.shape[:-1] + (1,), 255, dtype=out.dtype)
+            out = jnp.concatenate([out, a], axis=-1)
+        return out
