@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .graph import ComputeOp, FusedCompute, IOp, ReadOp, WriteOp, fuse
+from .graph import ComputeOp, FusedCompute, IOp, PendingReadOp, ReadOp, WriteOp, fuse
 from .ops.arithmetic import Add, Div, Mul, StaticLoop, Sub
 from .ops.cast import Cast, SaturateCast
 from .ops.color import ColorConversion, ColorConversionCode, VectorReorder
@@ -173,15 +173,29 @@ def read_yuv(buffer: ArrayLike, pixel_format: PixelFormat = PixelFormat.NV12) ->
     return ReadYUV(buffer=jnp.asarray(buffer), pixel_format=pixel_format)
 
 
-def crop(source: _SourceLike, rect: Rect) -> ReadOp:
-    """``cvGS::crop(backIOp, rect)``: a zero-copy re-indexing read stage."""
-    return CropRead(
-        source=_as_read(source),
-        x=jnp.asarray(rect.x, jnp.int32),
-        y=jnp.asarray(rect.y, jnp.int32),
-        width=int(rect.width),
-        height=int(rect.height),
-    )
+def crop(source=None, rect: Optional[Rect] = None):
+    """``cvGS::crop(backIOp, rect)`` / ``cvGS::crop(rect)``: a zero-copy
+    re-indexing read stage. Called with only a rect (``crop(rect)``), it
+    returns a geometry op that binds to the preceding read via ``.then`` or
+    positionally inside ``execute_operations`` (reference
+    ``include/cvGPUSpeedup.cuh:247-249``)."""
+    if rect is None and isinstance(source, Rect):
+        source, rect = None, source
+    if rect is None:
+        raise ValueError("crop needs a rect")
+
+    def build(src: ReadOp) -> ReadOp:
+        return CropRead(
+            source=src,
+            x=jnp.asarray(rect.x, jnp.int32),
+            y=jnp.asarray(rect.y, jnp.int32),
+            width=int(rect.width),
+            height=int(rect.height),
+        )
+
+    if source is None:
+        return PendingReadOp(build)
+    return build(_as_read(source))
 
 
 def crop_batch(source: _SourceLike, rects: Sequence[Rect]) -> ReadOp:
@@ -199,16 +213,29 @@ def crop_batch(source: _SourceLike, rects: Sequence[Rect]) -> ReadOp:
 
 
 def resize(
-    source: _SourceLike,
-    dsize: Size,
+    source=None,
+    dsize: Optional[Size] = None,
     fx: float = 0.0,
     fy: float = 0.0,
     interpolation: InterpolationType = InterpolationType.INTER_LINEAR,
-) -> ReadOp:
+):
     """``cvGS::resize<T, INTER_LINEAR>(src, dsize, fx, fy)``. Output is float32
-    (the resize stage always emits float; append :func:`convert_to` to cast)."""
+    (the resize stage always emits float; append :func:`convert_to` to cast).
+
+    Called with only a size (``resize(Size(w, h))`` or ``resize(dsize=...)``),
+    it returns a geometry op that binds to the preceding (possibly fused)
+    read — the ``cvGS::resize<INTER_F>(dsize)`` overload used after a fused
+    NV12 read (reference ``include/cvGPUSpeedup.cuh:204-207``)."""
+    if dsize is None and isinstance(source, Size):
+        source, dsize = None, source
+    if source is None:
+        if dsize is None:
+            raise ValueError("resize needs a dsize")
+        return PendingReadOp(
+            lambda src: ResizeRead(source=src, dsize=dsize, interp=interpolation)
+        )
     src = _as_read(source)
-    if dsize == Size(0, 0) or dsize is None:
+    if dsize is None or dsize == Size(0, 0):
         shape = jnp.asarray(src.lower()).shape if not isinstance(source, ReadOp) else None
         if shape is None or not (fx > 0 and fy > 0):
             raise ValueError("resize with dsize=(0,0) needs fx, fy > 0 and an array source")
@@ -331,6 +358,12 @@ def warp(
     )
 
 
+def set_to(value, shape, dtype=np.float32):
+    """``fk::setTo(value, ptr)`` analog: a filled device array (functional —
+    returns the filled value instead of mutating a buffer)."""
+    return jnp.full(tuple(shape), value, dtype=jnp.dtype(dtype))
+
+
 def batch_read(
     ops: Sequence[ReadOp],
     used_planes: Optional[ArrayLike] = None,
@@ -394,7 +427,7 @@ __all__ = [
     "convert_to", "multiply", "add", "subtract", "divide", "cvt_color",
     "vector_reorder", "static_loop", "convert_yuv_to_rgb", "image",
     "read_yuv", "crop", "crop_batch", "resize", "resize_batch", "warp",
-    "batch_read", "circular_batch_read",
+    "batch_read", "circular_batch_read", "set_to",
     "write", "write_tensor", "split", "split_tensor", "split_tensor_transposed",
     # data
     "CircularTensor",

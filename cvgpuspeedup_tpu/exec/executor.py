@@ -27,7 +27,7 @@ from typing import Callable, Dict, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..graph import ComputeOp, FusedCompute, IOp, ReadOp, WriteOp, op
+from ..graph import ComputeOp, FusedCompute, FusedRead, IOp, PendingReadOp, ReadOp, WriteOp, op
 from ..ops.memory import ImageRead, Write2D
 from ..types import ParBackend
 
@@ -95,7 +95,14 @@ def build_pipeline(*iops: IOp, input: Optional[jnp.ndarray] = None) -> Pipeline:
 
     compute: list = []
     for o in middle:
-        if isinstance(o, FusedCompute):
+        if isinstance(o, PendingReadOp):
+            # geometry op used positionally (cvGS::resize(dsize) after a
+            # fused read): bind it to everything accumulated so far
+            if compute:
+                read = FusedRead(read=read, chain=tuple(compute))
+                compute = []
+            read = o.bind(read)
+        elif isinstance(o, FusedCompute):
             compute.extend(o.ops)
         elif isinstance(o, ComputeOp):
             compute.append(o)
@@ -198,20 +205,25 @@ def launch_divergent_batch(
     seqs = list(sequences)
 
     def run(seq_list):
-        packed = []
-        for s in seq_list:
-            x = s.read.lower()
-            for o in s.compute:
-                x = o.apply(x)
-            packed.append(x)
-        n = packed[0].shape[0]
-        planes = []
+        # group planes by sequence id at trace time (the selector is static,
+        # like the reference's constexpr SequenceSelector::at) so each
+        # sequence computes ONLY its own planes, then scatter back in order
+        n = jax.eval_shape(seq_list[0].read.lower).shape[0]
+        groups: dict = {}
         for z in range(n):
             sid = selector(z)
             if not 1 <= sid <= len(seq_list):
                 raise ValueError(f"selector({z}) = {sid} out of range")
-            planes.append(packed[sid - 1][z])
-        merged = jnp.stack(planes, axis=0)
+            groups.setdefault(sid, []).append(z)
+        merged = None
+        for sid, planes in groups.items():
+            s = seq_list[sid - 1]
+            x = s.read.lower_planes(tuple(planes))
+            for o in s.compute:
+                x = o.apply(x)
+            if merged is None:
+                merged = jnp.zeros((n,) + x.shape[1:], dtype=x.dtype)
+            merged = merged.at[jnp.asarray(planes)].set(x)
         return seq_list[0].write.write(merged)
 
     leaves, treedef = jax.tree_util.tree_flatten(seqs)

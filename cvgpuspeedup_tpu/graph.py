@@ -37,6 +37,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "IOp",
+    "PendingReadOp",
     "ReadOp",
     "ComputeOp",
     "WriteOp",
@@ -114,10 +115,44 @@ class ReadOp(IOp):
     def lower(self) -> jnp.ndarray:
         raise NotImplementedError
 
+    def lower_planes(self, planes: Tuple[int, ...]) -> jnp.ndarray:
+        """Materialize only the given plane indices of a batched read.
+
+        Used by the divergent-batch launcher so each sequence computes
+        exactly the planes its selector routes to it (the reference's
+        per-plane template dispatch, F9). The default slices the full
+        read; cheap per-read specializations override this.
+        """
+        if not self.batched:
+            raise ValueError("lower_planes needs a batched read")
+        x = self.lower()
+        return x[jnp.asarray(planes, jnp.int32)]
+
     def then(self, other: IOp) -> IOp:
         if isinstance(other, ComputeOp):
             return FusedRead(read=self, chain=_chain_of(other))
+        if isinstance(other, PendingReadOp):
+            return other.bind(self)
         raise TypeError(f"cannot compose ReadOp with {type(other).__name__}")
+
+
+class PendingReadOp(IOp):
+    """A geometry op waiting for its source ("back op").
+
+    Mirrors the reference factories that take no input — ``cvGS::resize<INTER_F>
+    (dsize)`` / ``cvGS::crop(rect)`` (``include/cvGPUSpeedup.cuh:204-207,
+    247-249``) — which attach to the preceding read when the pipeline is
+    assembled: here ``read.then(pending)`` / ``fuse(read, pending)`` binds it.
+    """
+
+    def __init__(self, bind):
+        self._bind = bind
+
+    def bind(self, source: "ReadOp") -> "ReadOp":
+        return self._bind(source)
+
+    def then(self, other: IOp) -> IOp:
+        raise TypeError("a geometry op must be bound to a read first (read.then(op))")
 
 
 class WriteOp(IOp):
@@ -177,6 +212,8 @@ class FusedRead(ReadOp):
     def then(self, other: IOp) -> IOp:
         if isinstance(other, ComputeOp):
             return FusedRead(read=self.read, chain=self.chain + _chain_of(other))
+        if isinstance(other, PendingReadOp):
+            return other.bind(self)
         raise TypeError(f"cannot compose ReadOp with {type(other).__name__}")
 
     def describe(self) -> str:

@@ -60,6 +60,9 @@ class ImageRead(ReadOp):
             x = x[..., None]
         return x
 
+    def lower_planes(self, planes) -> jnp.ndarray:
+        return self.lower()[jnp.asarray(planes, jnp.int32)]
+
     def describe(self) -> str:
         return f"ImageRead{tuple(self.data.shape)}"
 
@@ -90,6 +93,15 @@ class BatchRead(ReadOp):
             x = jnp.where(z < self.used_planes, x, default)
         return x
 
+    def lower_planes(self, planes) -> jnp.ndarray:
+        # static plane list -> stack only the selected sub-reads
+        x = jnp.stack([self.ops[int(z)].lower() for z in planes], axis=0)
+        if self.used_planes is not None:
+            z = jnp.asarray(planes, jnp.int32).reshape((-1,) + (1,) * (x.ndim - 1))
+            default = jnp.asarray(self.default, dtype=x.dtype)
+            x = jnp.where(z < self.used_planes, x, default)
+        return x
+
     def describe(self) -> str:
         return f"BatchRead[{len(self.ops)}]({self.ops[0].describe()}, ...)"
 
@@ -111,6 +123,12 @@ class CircularBatchRead(ReadOp):
     def lower(self) -> jnp.ndarray:
         n = self.data.shape[0]
         z = jnp.arange(n)
+        src = (self.first + z) % n if self.ascendent else (self.first - z) % n
+        return jnp.take(self.data, src, axis=0)
+
+    def lower_planes(self, planes) -> jnp.ndarray:
+        n = self.data.shape[0]
+        z = jnp.asarray(planes, jnp.int32)
         src = (self.first + z) % n if self.ascendent else (self.first - z) % n
         return jnp.take(self.data, src, axis=0)
 

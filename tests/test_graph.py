@@ -91,3 +91,38 @@ def test_single_program_compilation(rng):
         cvgs.split_tensor(),
     ))
     assert out.shape == (3, 32, 32)
+
+
+def test_pending_geometry_ops(rng):
+    """cvGS::resize(dsize) / cvGS::crop(rect) source-less overloads bind to
+    the preceding read via .then or positionally in execute_operations."""
+    import cvgpuspeedup_tpu as cvgs
+    frame = rng.integers(0, 255, (64, 96, 3)).astype(np.uint8)
+    # .then-binding
+    read = cvgs.image(frame).then(cvgs.crop(cvgs.Rect(8, 4, 32, 16))).then(
+        cvgs.resize(cvgs.Size(16, 8))
+    )
+    out = np.asarray(cvgs.execute_operations(read))
+    ref = np.asarray(cvgs.execute_operations(
+        cvgs.resize(cvgs.crop(frame, cvgs.Rect(8, 4, 32, 16)), cvgs.Size(16, 8))
+    ))
+    check_float(out, ref, tol=0)
+    # positional binding inside execute_operations (after a fused read)
+    out2 = np.asarray(cvgs.execute_operations(
+        cvgs.image(frame),
+        cvgs.vector_reorder(2, 1, 0),
+        cvgs.resize(dsize=cvgs.Size(16, 8)),
+        cvgs.multiply(2.0),
+    ))
+    ref2 = np.asarray(cvgs.execute_operations(
+        cvgs.resize(cvgs.fuse(cvgs.image(frame), cvgs.vector_reorder(2, 1, 0)),
+                    cvgs.Size(16, 8)),
+        cvgs.multiply(2.0),
+    ))
+    check_float(out2, ref2, tol=0)
+
+
+def test_set_to():
+    import cvgpuspeedup_tpu as cvgs
+    x = cvgs.set_to(3.5, (4, 5, 2))
+    assert x.shape == (4, 5, 2) and float(np.asarray(x)[0, 0, 0]) == 3.5
