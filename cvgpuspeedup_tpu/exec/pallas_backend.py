@@ -16,16 +16,17 @@ Design (TPU-first; deliberately nothing like the CUDA thread-per-pixel model):
 - each program DMAs its crop window HBM->VMEM: dynamic offset, static
   *bucketed* extent (``max_crop_w/h`` rounded up, so rect jitter between
   frames never recompiles);
-- bilinear resize is computed as TWO SMALL MXU MATMULS per channel:
-  ``out_c = Wv @ (win @ Wh_c)`` where the banded two-tap interpolation
-  matrices ``Wv (H_out, MAXH)`` / ``Wh_c (MAXW*C, W_out)`` are built on the
-  VPU from the SMEM scalars with the same exact rational coordinate math as
-  the XLA path (``ops.resize.axis_lerp``). ``Wh_c`` also folds the
-  channel de-interleave (rows are masked to ``k % C == c``), so the packed
-  HWC window multiplies straight into planar per-channel tiles — exactly what
-  the TensorSplit DL layout wants. Matmuls run at ``Precision.HIGHEST``
+- bilinear resize is computed as TWO MXU MATMULS: ``Wv @ (win @ Wh)`` with
+  banded two-tap interpolation matrices built on the VPU each step from the
+  SMEM scalars, using the same exact rational coordinate math as the XLA path
+  (``ops.resize.axis_lerp``; the letterbox sub-rect is likewise derived
+  in-kernel from the raw rect — no XLA pre-pass). The horizontal matrix is
+  ONE wide ``(win_w*C, C*W_out)`` matrix whose channel-major columns fold the
+  HWC de-interleave into the interpolation (rows masked by ``k mod C``), so
+  the packed u8 window multiplies straight into planar per-channel f32 tiles
+  — exactly the TensorSplit DL layout. Matmuls run at ``Precision.HIGHEST``
   (needed for the f32 parity contract; interpolation weights are not bf16-
-  representable);
+  representable — measured: precision is not the bottleneck);
 - letterbox borders and ragged planes (``z >= used_planes``) select the
   background value — the reference's CONDITIONAL_WITH_DEFAULT;
 - the pointwise chain then runs on the VPU over planar 2D tiles (see
@@ -41,7 +42,6 @@ path with identical numerics.
 
 from __future__ import annotations
 
-import functools
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -251,14 +251,10 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
 
     out_ch, out_dtype = _chain_out_struct(chain, nch)
 
-    # ---- per-plane geometry params (SMEM scalar prefetch) ----
-    rects = jnp.asarray(read.rects, jnp.int32)
-
-    def geom(rect):
-        new_w, new_h, ox, oy = letterbox_geometry(rect[2], rect[3], dsize, mode)
-        return jnp.stack([rect[0], rect[1], rect[2], rect[3], new_w, new_h, ox, oy])
-
-    params = jax.vmap(geom)(rects)  # (N, 8) i32
+    # ---- per-plane geometry: raw rects ride SMEM scalar prefetch; the
+    # letterbox sub-rect is derived in-kernel from scalars (no XLA pre-pass,
+    # no extra launch in the hot path) ----
+    params = jnp.asarray(read.rects, jnp.int32)  # (N, 4) [x, y, w, h]
     used = (
         jnp.full((1,), n_planes, jnp.int32)
         if read.used_planes is None
@@ -364,10 +360,7 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
         y0 = params_ref[z, 1]
         w = params_ref[z, 2]
         h = params_ref[z, 3]
-        new_w = params_ref[z, 4]
-        new_h = params_ref[z, 5]
-        ox = params_ref[z, 6]
-        oy = params_ref[z, 7]
+        new_w, new_h, ox, oy = letterbox_geometry(w, h, dsize, mode)
         if frame_mode:
             dy = y0 - jnp.minimum((y0 // 8) * 8, src_h - win_h)
             dx = x0 - jnp.minimum((x0 // align) * align, src_w - win_w)
@@ -397,10 +390,15 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
         qx = xo2 - ox
         ix0, ix1, wx = axis_lerp(qx, w, new_w)
         col_in2 = ((qx >= 0) & (qx < new_w)).astype(jnp.float32)
-        kk = jax.lax.broadcasted_iota(jnp.int32, (lanes, nch * w_out), 0)
+        # row (lane) coordinates as COLUMN vectors: the integer div/rem runs
+        # on (lanes, 1), not the full (lanes, C*W_out) matrix — broadcasting
+        # does the rest (int division is expensive on the VPU)
+        kcol = jax.lax.broadcasted_iota(jnp.int32, (lanes, 1), 0)
+        k_x = kcol // nch
+        k_c = kcol % nch
         wh_all = (
-            ((kk // nch == ix0 + dx) * (1.0 - wx) + (kk // nch == ix1 + dx) * wx)
-            * (kk % nch == cc2)
+            ((k_x == ix0 + dx) * (1.0 - wx) + (k_x == ix1 + dx) * wx)
+            * (k_c == cc2)
             * col_in2
         )
 
