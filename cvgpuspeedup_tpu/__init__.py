@@ -48,6 +48,7 @@ from .ops.memory import (
     TensorWrite,
     Write2D,
 )
+from .ops.border import BorderMode, BorderRead
 from .ops.nv12 import ConvertYUVToRGB, ReadYUV
 from .ops.resize import BatchResizeRead, ResizeRead
 from .ops.warp import WarpRead, WarpType, invert_affine, invert_perspective
@@ -364,6 +365,26 @@ def set_to(value, shape, dtype=np.float32):
     return jnp.full(tuple(shape), value, dtype=jnp.dtype(dtype))
 
 
+def make_border(
+    source: _SourceLike,
+    top: int,
+    bottom: int,
+    left: int,
+    right: int,
+    mode: "BorderMode" = None,
+    value=0.0,
+) -> ReadOp:
+    """Border-extension read (FKL ``border_reader`` analog; cv2
+    ``copyMakeBorder`` semantics). Composes with resize/warp back-ops."""
+    mode = mode or BorderMode.REFLECT_101
+    return BorderRead(
+        source=_as_read(source),
+        value=jnp.asarray(value, jnp.float32),
+        top=int(top), bottom=int(bottom), left=int(left), right=int(right),
+        mode=mode,
+    )
+
+
 def batch_read(
     ops: Sequence[ReadOp],
     used_planes: Optional[ArrayLike] = None,
@@ -427,7 +448,7 @@ __all__ = [
     "convert_to", "multiply", "add", "subtract", "divide", "cvt_color",
     "vector_reorder", "static_loop", "convert_yuv_to_rgb", "image",
     "read_yuv", "crop", "crop_batch", "resize", "resize_batch", "warp",
-    "batch_read", "circular_batch_read", "set_to",
+    "batch_read", "circular_batch_read", "set_to", "make_border", "BorderMode",
     "write", "write_tensor", "split", "split_tensor", "split_tensor_transposed",
     # data
     "CircularTensor",

@@ -208,10 +208,13 @@ def supports(pipeline) -> bool:
     nch = int(src.shape[-1])
     if _window_geometry(read) is None:
         return False
-    # chain runtime params ride the scalar-prefetch section: small 0/1-d only
+    # chain runtime params ride the packed f32 scalar-prefetch array:
+    # small 0/1-d float32 values only
     for leaf in jax.tree_util.tree_leaves(tuple(pipeline.compute)):
         shp = jnp.shape(leaf)
         if len(shp) > 1 or (shp and shp[0] > 64):
+            return False
+        if jnp.result_type(leaf) != jnp.float32:
             return False
     try:
         _chain_out_struct(pipeline.compute, nch)
@@ -251,24 +254,31 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
 
     out_ch, out_dtype = _chain_out_struct(chain, nch)
 
-    # ---- per-plane geometry: raw rects ride SMEM scalar prefetch; the
-    # letterbox sub-rect is derived in-kernel from scalars (no XLA pre-pass,
-    # no extra launch in the hot path) ----
-    params = jnp.asarray(read.rects, jnp.int32)  # (N, 4) [x, y, w, h]
+    # ---- scalar-prefetch params, PACKED into two arrays (one i32, one f32).
+    # Each prefetch arg costs a separate small SMEM transfer with ~10us
+    # latency on this stack; packing all per-plane geometry, the ragged
+    # count, the background, and every chain runtime scalar into two arrays
+    # removed a ~100us fixed per-launch cost. The letterbox sub-rect is
+    # derived in-kernel from the raw rect scalars (no XLA pre-pass). This is
+    # the analog of the reference's per-plane kernel-parameter array (F7),
+    # minus CUDA's 4KB limit. ----
+    rects_flat = jnp.asarray(read.rects, jnp.int32).reshape(-1)  # (N*4,)
     used = (
         jnp.full((1,), n_planes, jnp.int32)
         if read.used_planes is None
         else jnp.reshape(jnp.asarray(read.used_planes, jnp.int32), (1,))
     )
-    bg = jnp.asarray(read.background, jnp.float32).reshape(nch)
+    iparams = jnp.concatenate([rects_flat, used])  # (N*4 + 1,)
 
-    # the compute chain's runtime params (scalars / per-channel vectors) ride
-    # the scalar-prefetch section and the chain is rebuilt inside the kernel —
-    # the exact analog of the reference's per-op kernel parameters
+    bg = jnp.asarray(read.background, jnp.float32).reshape(nch)
     chain_leaves, chain_def = jax.tree_util.tree_flatten(tuple(chain))
     leaf_shapes = [jnp.shape(l) for l in chain_leaves]
-    leaf_inputs = [jnp.asarray(l).reshape(-1) for l in chain_leaves]
-    n_leaves = len(leaf_inputs)
+    leaf_sizes = [1 if shp == () else int(shp[0]) for shp in leaf_shapes]
+    leaf_offsets = list(np.cumsum([nch] + leaf_sizes))[:-1]  # after bg
+    fparts = [bg] + [
+        jnp.asarray(l, jnp.float32).reshape(-1) for l in chain_leaves
+    ]
+    fparams = jnp.concatenate(fparts) if fparts else bg
 
     # source as 2D rows of interleaved pixels (layout no-op)
     if frame_mode:
@@ -304,10 +314,7 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
 
     lanes = win_w * nch
 
-    def kernel(params_ref, used_ref, bg_ref, *refs):
-        leaf_refs = refs[:n_leaves]
-        src_ref = refs[n_leaves]
-        rest = refs[n_leaves + 1 :]
+    def kernel(ip_ref, fp_ref, src_ref, *rest):
         if isinstance(out_shape, tuple):
             out_refs = rest[: len(out_shape)]
             window, sem = rest[len(out_shape) :]
@@ -315,13 +322,23 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
             out_refs = rest[:1]
             window, sem = rest[1:]
 
+        def rect_of(i, k):
+            return ip_ref[i * 4 + k]
+
+        used_count = ip_ref[n_planes * 4]
+
+        def bg_of(c):
+            return fp_ref[c]
+
         # rebuild the compute chain with in-kernel parameter values
         leaf_vals = []
-        for ref, shp in zip(leaf_refs, leaf_shapes):
+        for shp, size, off in zip(leaf_shapes, leaf_sizes, leaf_offsets):
             if shp == ():
-                leaf_vals.append(ref[0])
+                leaf_vals.append(fp_ref[int(off)])
             else:
-                leaf_vals.append(jnp.stack([ref[i] for i in range(int(shp[0]))]))
+                leaf_vals.append(
+                    jnp.stack([fp_ref[int(off) + i] for i in range(size)])
+                )
         chain_k = jax.tree_util.tree_unflatten(chain_def, leaf_vals)
 
         z = pl.program_id(0)
@@ -334,8 +351,8 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
                 # src dims are aligned (checked in _window_geometry), so the
                 # clamped start stays legal and the window always covers
                 # [y0, y0+h) x [x0, x0+w).
-                yi = params_ref[i, 1]
-                xi = params_ref[i, 0]
+                yi = rect_of(i, 1)
+                xi = rect_of(i, 0)
                 ys_i = jnp.minimum((yi // 8) * 8, src_h - win_h)
                 xs_i = jnp.minimum((xi // align) * align, src_w - win_w)
                 src_slice = src_ref.at[
@@ -356,10 +373,10 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
         def _():
             plane_dma(z + 1, (z + 1) % 2).start()
 
-        x0 = params_ref[z, 0]
-        y0 = params_ref[z, 1]
-        w = params_ref[z, 2]
-        h = params_ref[z, 3]
+        x0 = rect_of(z, 0)
+        y0 = rect_of(z, 1)
+        w = rect_of(z, 2)
+        h = rect_of(z, 3)
         new_w, new_h, ox, oy = letterbox_geometry(w, h, dsize, mode)
         if frame_mode:
             dy = y0 - jnp.minimum((y0 // 8) * 8, src_h - win_h)
@@ -418,7 +435,7 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
             preferred_element_type=jnp.float32,
         )  # (H_out, C*W_out)
 
-        active = (z < used_ref[0]).astype(jnp.float32)
+        active = (z < used_count).astype(jnp.float32)
         col_in_c = ((jax.lax.broadcasted_iota(jnp.int32, (1, w_out), 1) - ox >= 0)
                     & (jax.lax.broadcasted_iota(jnp.int32, (1, w_out), 1) - ox < new_w)
                     ).astype(jnp.float32)
@@ -427,7 +444,7 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
         planes = []
         for c in range(nch):
             val = vals[:, c * w_out : (c + 1) * w_out]
-            val = val * inside + bg_ref[c] * (1.0 - inside)
+            val = val * inside + bg_of(c) * (1.0 - inside)
             planes.append(val)
 
         planes = _apply_chain_planar(chain_k, planes)
@@ -445,7 +462,7 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
                 out_refs[c][0] = p
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3 + n_leaves,
+        num_scalar_prefetch=2,
         grid=(n_planes,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=out_spec,
@@ -472,7 +489,7 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
         out_shape=out_shape,
         interpret=interpret,
         cost_estimate=cost,
-    )(params, used, bg, *leaf_inputs, src2d)
+    )(iparams, fparams, src2d)
 
     if isinstance(write, Write2D) and not isinstance(write, TensorWrite):
         return result  # packed batch output (N, H, W, C)
