@@ -157,3 +157,39 @@ class CircularTensor:
             self._update_cache[key] = fn
         self._tensor = fn(self._tensor, leaves)
         return self._tensor
+
+    # --- persistence (the ring is the only persistent state the engine owns,
+    # SURVEY.md §5.4) ---
+
+    def state_dict(self) -> dict:
+        import numpy as _np
+
+        return {
+            "tensor": _np.asarray(self._tensor),
+            "order": self.order.value,
+            "planes": self.planes.value,
+            "width": self.width,
+            "height": self.height,
+            "channels": self.channels,
+            "batch": self.batch,
+        }
+
+    def save(self, path: str) -> None:
+        import numpy as _np
+
+        _np.savez(path, **self.state_dict())
+
+    @classmethod
+    def load(cls, path: str, device=None) -> "CircularTensor":
+        import numpy as _np
+
+        d = _np.load(path if str(path).endswith(".npz") else str(path) + ".npz")
+        ct = cls(
+            width=int(d["width"]), height=int(d["height"]),
+            channels=int(d["channels"]), batch=int(d["batch"]),
+            order=CircularTensorOrder(str(d["order"])),
+            planes=ColorPlanes(str(d["planes"])),
+            dtype=d["tensor"].dtype, device=device,
+        )
+        ct._tensor = jnp.asarray(d["tensor"])
+        return ct

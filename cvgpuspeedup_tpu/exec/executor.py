@@ -38,7 +38,31 @@ __all__ = [
     "build_operation_sequence",
     "launch_divergent_batch",
     "clear_cache",
+    "debug_mode",
 ]
+
+import contextlib
+import threading
+
+_DEBUG = threading.local()
+
+
+@contextlib.contextmanager
+def debug_mode():
+    """Force every Pallas lowering into interpreter mode within the scope —
+    the TPU analog of the reference's device-debug builds (``nvcc -G``,
+    SURVEY.md §5.2): full Python-level inspectability + bounds checking of
+    the kernel path, identical numerics."""
+    prev = getattr(_DEBUG, "on", False)
+    _DEBUG.on = True
+    try:
+        yield
+    finally:
+        _DEBUG.on = prev
+
+
+def _debug_active() -> bool:
+    return getattr(_DEBUG, "on", False)
 
 
 @op
@@ -169,6 +193,8 @@ def execute_operations(
     (new frames, new rects, new scalars) reuse it.
     """
     pipeline = build_pipeline(*iops, input=input)
+    if _debug_active() and backend in (ParBackend.AUTO, ParBackend.PALLAS):
+        backend = ParBackend.PALLAS_INTERPRET
     if backend == ParBackend.AUTO:
         backend = _resolve_auto(pipeline)
     leaves, treedef = jax.tree_util.tree_flatten(pipeline)

@@ -113,3 +113,16 @@ def test_circular_tensor_uint8_dtype():
     assert t.dtype == np.uint8
     expect = np.clip(np.rint(_frame(3)), 0, 255).astype(np.uint8).transpose(2, 0, 1)
     check_exact(t[0], expect, "u8 ring newest plane")
+
+
+def test_circular_tensor_save_load(tmp_path):
+    ct = cvgs.CircularTensor(width=W, height=H, channels=C, batch=3)
+    for k in range(1, 4):
+        ct.update(cvgs.image(_frame(k)))
+    p = str(tmp_path / "ring")
+    ct.save(p)
+    ct2 = cvgs.CircularTensor.load(p)
+    assert ct2.order == ct.order and ct2.planes == ct.planes
+    check_float(np.asarray(ct2.tensor), np.asarray(ct.tensor), tol=0)
+    ct2.update(cvgs.image(_frame(4)))
+    check_float(np.asarray(ct2.tensor[0]).transpose(1, 2, 0), _frame(4))

@@ -149,3 +149,18 @@ def test_unsupported_falls_back(rng):
     x = np.asarray(cvgs.execute_operations(*ops, backend=cvgs.ParBackend.XLA))
     p = np.asarray(cvgs.execute_operations(*ops, backend=cvgs.ParBackend.PALLAS_INTERPRET))
     check_float(p, x, tol=0, msg="fallback identical")
+
+
+def test_debug_mode_forces_interpret(rng):
+    """debug_mode(): AUTO/PALLAS lowerings run interpreted (nvcc -G analog)."""
+    from cvgpuspeedup_tpu.exec.executor import debug_mode
+    frame = _frame(rng)
+    ops = lambda: [
+        cvgs.resize_batch(frame, rects=_rects(3), dsize=cvgs.Size(*UP)),
+        cvgs.multiply(0.5),
+        cvgs.split_tensor(),
+    ]
+    ref = np.asarray(cvgs.execute_operations(*ops(), backend=cvgs.ParBackend.XLA))
+    with debug_mode():
+        out = np.asarray(cvgs.execute_operations(*ops(), backend=cvgs.ParBackend.PALLAS))
+    check_float(out, ref, msg="debug-mode interpret parity")
