@@ -38,7 +38,7 @@ BATCH = 50
 SRC_H, SRC_W = 2160, 3840
 UP = cvgs.Size(64, 128)
 ALPHA, SUB, DIV = 0.3, (3.2, 0.6, 11.8), (128.0, 128.0, 128.0)
-N_SMALL, N_LARGE = 10, 110
+N_SMALL, N_LARGE = 10, 510
 
 
 def log(*a):

@@ -42,7 +42,7 @@ path with identical numerics.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -56,7 +56,7 @@ from ..ops.cast import Cast, SaturateCast
 from ..ops.color import _CODE_INFO, _B2Y, _G2Y, _GRAY_SHIFT, _R2Y, ColorConversion, VectorReorder
 from ..ops.memory import SplitWrite, TensorSplit, TensorTSplit, TensorWrite, Write2D
 from ..ops.resize import BatchResizeRead, axis_lerp, letterbox_geometry
-from ..types import AspectRatio, InterpolationType
+from ..types import InterpolationType
 from ..utils import dtypes as dt
 
 _HIGHEST = jax.lax.Precision.HIGHEST

@@ -30,7 +30,7 @@ Composition mirrors the reference surface:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

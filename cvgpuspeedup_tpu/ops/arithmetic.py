@@ -18,7 +18,7 @@ broadcasts over channels, a length-C vector applies per channel.
 
 from __future__ import annotations
 
-from typing import Tuple
+
 
 import jax.numpy as jnp
 

@@ -25,7 +25,7 @@ value) is appended when ``alpha=True``.
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import jax.numpy as jnp
 import numpy as np

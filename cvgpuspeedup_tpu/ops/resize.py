@@ -24,7 +24,7 @@ same functions so both backends produce bit-identical float32 results.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

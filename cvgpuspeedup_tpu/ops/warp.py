@@ -18,7 +18,7 @@ float-typed; callers append a cast (``tests/warping/test_warping_opencv.cu:63``)
 from __future__ import annotations
 
 import enum
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp
