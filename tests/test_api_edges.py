@@ -1,0 +1,80 @@
+"""API edge coverage: overloads and less-traveled paths of the factory
+surface (completing the reference's overload matrix)."""
+
+import cv2
+import numpy as np
+import pytest
+
+import cvgpuspeedup_tpu as cvgs
+from conftest import check_exact, check_float
+
+
+def test_resize_with_fx_fy(rng):
+    """cvGS::resize(src, dsize=(0,0), fx, fy) scale-factor form."""
+    img = rng.integers(0, 256, (40, 60, 3)).astype(np.uint8)
+    out = np.asarray(cvgs.execute_operations(
+        cvgs.resize(img, cvgs.Size(0, 0), fx=0.5, fy=0.25)
+    ))
+    assert out.shape == (10, 30, 3)
+    ref = cv2.resize(img.astype(np.float32), (30, 10), interpolation=cv2.INTER_LINEAR)
+    check_float(out, ref, msg="fx/fy resize")
+
+
+def test_execute_with_input_array(rng):
+    """executeOperations(input, stream, iops...) overload: input= array."""
+    img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    out = np.asarray(cvgs.execute_operations(
+        cvgs.convert_to(np.float32, alpha=2.0), input=img
+    ))
+    check_float(out, img.astype(np.float32) * 2.0, msg="input= overload")
+
+
+def test_grayscale_2d_input(rng):
+    img = rng.integers(0, 256, (12, 20)).astype(np.uint8)
+    out = np.asarray(cvgs.execute_operations(cvgs.image(img), cvgs.multiply(2.0)))
+    assert out.shape == (12, 20, 1)
+    check_exact(out[..., 0], cv2.multiply(img, np.array(2.0)), "gray 2D")
+
+
+def test_convert_to_float_beta(rng):
+    img = rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)
+    out = np.asarray(cvgs.execute_operations(
+        cvgs.image(img), cvgs.convert_to(np.float32, alpha=0.5, beta=-3.25)
+    ))
+    ref = cv2.addWeighted(img, 0.5, img, 0.0, -3.25, dtype=cv2.CV_32F).reshape(img.shape)
+    check_float(out, ref, msg="float alpha+beta")
+
+
+def test_crop_batch_same_size(rng):
+    frame = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+    rects = [cvgs.Rect(i, 2 * i, 16, 12) for i in range(4)]
+    out = np.asarray(cvgs.execute_operations(cvgs.crop_batch(frame, rects)))
+    assert out.shape == (4, 12, 16, 3)
+    for i, r in enumerate(rects):
+        check_exact(out[i], frame[r.y : r.y + 12, r.x : r.x + 16], f"crop {i}")
+    with pytest.raises(ValueError):
+        cvgs.crop_batch(frame, [cvgs.Rect(0, 0, 8, 8), cvgs.Rect(0, 0, 9, 8)])
+
+
+def test_divergent_selector_out_of_range(rng):
+    data = rng.random((2, 4, 4, 1), dtype=np.float32)
+    seq = cvgs.build_operation_sequence(cvgs.image(data))
+    with pytest.raises(ValueError):
+        cvgs.launch_divergent_batch(lambda z: 5, seq)
+
+
+def test_batched_pipeline_input_4d(rng):
+    batch = rng.integers(0, 256, (3, 8, 8, 3)).astype(np.uint8)
+    out = np.asarray(cvgs.execute_operations(
+        cvgs.convert_to(np.float32), input=batch
+    ))
+    assert out.shape == (3, 8, 8, 3) and out.dtype == np.float32
+
+
+def test_int16_negative_saturate(rng):
+    img = (rng.random((8, 8, 1), dtype=np.float32) * 200000 - 100000).astype(np.float32)
+    out = np.asarray(cvgs.execute_operations(
+        cvgs.image(img), cvgs.convert_to(np.int16)
+    ))
+    ref = np.clip(np.rint(img), -32768, 32767).astype(np.int16)
+    check_exact(out, ref, "negative saturate")
