@@ -27,6 +27,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..graph import ReadOp, op, static_field
@@ -130,9 +131,85 @@ def _bilinear_sample(img_f32, i0x, i1x, wx, i0y, i1y, wy):
     return h0 * (1.0 - wy_c) + h1 * wy_c
 
 
+#: phase-count cap for the polyphase path; above this, fall back to gathers
+_MAX_PHASES = 32
+
+
+def _axis_phases(src_len: int, dst_len: int):
+    """Static polyphase decomposition of one resize axis (host-side numpy).
+
+    The rational coordinate ``s(q) = ((2q+1)src - dst)/(2dst)`` is periodic in
+    ``Q = dst/gcd(src, dst)`` phases: outputs ``q = phi + k*Q`` share one
+    weight and advance the source tap by ``P = src/gcd`` per step. Each phase
+    therefore lowers to TWO STRIDED SLICES + a constant-weight lerp — no
+    gathers, which XLA:TPU handles at line rate where gathers crawl.
+
+    Returns ``(P, Q, i0_per_phase, w_per_phase, counts)`` with i0 UNCLAMPED
+    (edge behavior is reproduced by edge-padding the source: when the exact
+    semantics clamp, both taps read the same edge pixel so any weight yields
+    the clamped value).
+    """
+    import math
+
+    g = math.gcd(src_len, dst_len)
+    p_stride, q_phases = src_len // g, dst_len // g
+    phis = np.arange(q_phases, dtype=np.int64)
+    num = (2 * phis + 1) * src_len - dst_len
+    den = 2 * dst_len
+    i0 = num // den
+    w = ((num - i0 * den) / den).astype(np.float32)
+    counts = np.full(q_phases, dst_len // q_phases, np.int64)
+    return p_stride, q_phases, i0, w, counts
+
+
+def _resize_axis_static(x: jnp.ndarray, axis: int, src_len: int, dst_len: int):
+    """Resize one axis with static geometry via polyphase strided slices.
+
+    ``x`` is float32; ``axis`` is 0 or 1 of a (H, W, C) array. Exactly the
+    math of :func:`axis_lerp` + the lerp in :func:`_bilinear_sample`.
+    """
+    p_stride, q_phases, i0s, ws, counts = _axis_phases(src_len, dst_len)
+    k = int(counts[0])
+    # edge-pad by one on both ends: clamped taps then read the edge pixel
+    pad = [(0, 0)] * x.ndim
+    # the last phase's second tap can reach i0+1 = src_len (virtual); padding
+    # by p_stride keeps every strided slice in bounds with a uniform length
+    pad[axis] = (1, p_stride + 1)
+    xp = jnp.pad(x, pad, mode="edge")
+
+    def slice_axis(start, stride):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(start, start + (k - 1) * stride + 1, stride)
+        return xp[tuple(idx)]
+
+    phases = []
+    for phi in range(q_phases):
+        a = slice_axis(int(i0s[phi]) + 1, p_stride)
+        w = float(ws[phi])
+        if w == 0.0:
+            phases.append(a)
+        else:
+            b = slice_axis(int(i0s[phi]) + 2, p_stride)
+            wf = jnp.float32(w)
+            phases.append(a * (1.0 - wf) + b * wf)
+    if q_phases == 1:
+        return phases[0]
+    # interleave phases: stack -> (..., K, Q, ...) -> reshape to dst_len
+    stacked = jnp.stack(phases, axis=axis + 1)  # (.., K, Q, ..)
+    new_shape = list(x.shape)
+    new_shape[axis] = dst_len
+    return stacked.reshape(new_shape)
+
+
 @op
 class ResizeRead(ReadOp):
-    """Single-image bilinear resize over any back read-op. Emits float32."""
+    """Single-image bilinear resize over any back read-op. Emits float32.
+
+    Geometry is static, so the lowering is gather-free where possible: a
+    polyphase strided-slice pass per axis (horizontal first, then vertical —
+    the same association as the batched paths). Ratios with more than
+    ``_MAX_PHASES`` phases fall back to the corner-gather form.
+    """
 
     source: ReadOp
     dsize: Size = static_field()
@@ -142,8 +219,15 @@ class ResizeRead(ReadOp):
         src = self.source.lower().astype(jnp.float32)
         if src.ndim != 3:
             raise ValueError("ResizeRead expects a single (H, W, C) source")
-        src_h, src_w = src.shape[0], src.shape[1]
+        src_h, src_w = int(src.shape[0]), int(src.shape[1])
         dst_w, dst_h = self.dsize.width, self.dsize.height
+        import math
+
+        qx = dst_w // math.gcd(src_w, dst_w)
+        qy = dst_h // math.gcd(src_h, dst_h)
+        if qx <= _MAX_PHASES and qy <= _MAX_PHASES:
+            x = _resize_axis_static(src, 1, src_w, dst_w)
+            return _resize_axis_static(x, 0, src_h, dst_h)
         i0x, i1x, wx = axis_lerp(jnp.arange(dst_w), src_w, dst_w)
         i0y, i1y, wy = axis_lerp(jnp.arange(dst_h), src_h, dst_h)
         return _bilinear_sample(src, i0x, i1x, wx, i0y, i1y, wy)

@@ -94,3 +94,30 @@ def test_resize_fused_backop(rng):
     )
     ref = _cv_resize_f32(frame[..., ::-1], (60, 45))
     check_float(out, ref, msg="resize over fused read")
+
+
+@pytest.mark.parametrize("src_wh,dst_wh", [
+    ((64, 128), (32, 64)),     # Q=1 integer down
+    ((32, 16), (64, 48)),      # integer up
+    ((60, 120), (64, 128)),    # Q=16
+    ((200, 100), (64, 128)),   # Qx=8, Qy mixed
+    ((48, 48), (36, 60)),      # Q=3 down / Q=5 up (odd mixes)
+])
+def test_polyphase_matches_gather_path(rng, src_wh, dst_wh):
+    """The strided-slice polyphase lowering must match the corner-gather
+    lowering (same rational weights, same lerp association) to float
+    tolerance on every ratio class."""
+    from cvgpuspeedup_tpu.ops import resize as rz
+    img = rng.integers(0, 256, (src_wh[1], src_wh[0], 3)).astype(np.uint8)
+    out_poly = np.asarray(cvgs.execute_operations(cvgs.resize(img, cvgs.Size(*dst_wh))))
+    # force the gather path by dropping the phase cap
+    old = rz._MAX_PHASES
+    rz._MAX_PHASES = 0
+    try:
+        from cvgpuspeedup_tpu.exec import executor
+        executor.clear_cache()
+        out_gather = np.asarray(cvgs.execute_operations(cvgs.resize(img, cvgs.Size(*dst_wh))))
+        executor.clear_cache()
+    finally:
+        rz._MAX_PHASES = old
+    check_float(out_poly, out_gather, tol=1e-4, msg=f"polyphase vs gather {src_wh}->{dst_wh}")
