@@ -170,12 +170,19 @@ def _resize_axis_static(x: jnp.ndarray, axis: int, src_len: int, dst_len: int):
     """
     p_stride, q_phases, i0s, ws, counts = _axis_phases(src_len, dst_len)
     k = int(counts[0])
-    # edge-pad by one on both ends: clamped taps then read the edge pixel
-    pad = [(0, 0)] * x.ndim
-    # the last phase's second tap can reach i0+1 = src_len (virtual); padding
-    # by p_stride keeps every strided slice in bounds with a uniform length
-    pad[axis] = (1, p_stride + 1)
-    xp = jnp.pad(x, pad, mode="edge")
+    # Pad only as far as taps actually reach (edge mode: a clamped tap then
+    # reads the same edge pixel, so the weight becomes irrelevant — exactly
+    # the OpenCV clamp semantics). Pure downscales need no pad at all and
+    # lower to zero-copy strided slices.
+    max_tap = int(i0s.max()) + 1 + (k - 1) * p_stride
+    pad_l = max(0, -int(i0s.min()))
+    pad_r = max(0, max_tap - (src_len - 1))
+    if pad_l or pad_r:
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (pad_l, pad_r)
+        xp = jnp.pad(x, pad, mode="edge")
+    else:
+        xp = x
 
     def slice_axis(start, stride):
         idx = [slice(None)] * x.ndim
@@ -184,12 +191,12 @@ def _resize_axis_static(x: jnp.ndarray, axis: int, src_len: int, dst_len: int):
 
     phases = []
     for phi in range(q_phases):
-        a = slice_axis(int(i0s[phi]) + 1, p_stride)
+        a = slice_axis(int(i0s[phi]) + pad_l, p_stride)
         w = float(ws[phi])
         if w == 0.0:
             phases.append(a)
         else:
-            b = slice_axis(int(i0s[phi]) + 2, p_stride)
+            b = slice_axis(int(i0s[phi]) + pad_l + 1, p_stride)
             wf = jnp.float32(w)
             phases.append(a * (1.0 - wf) + b * wf)
     if q_phases == 1:
