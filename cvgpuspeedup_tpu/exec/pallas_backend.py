@@ -86,20 +86,24 @@ def _window_geometry(read) -> Optional[dict]:
     if frame_mode:
         src_h, src_w = int(src.shape[0]), int(src.shape[1])
         maxh = -(-int(read.max_crop_h) // 8) * 8
-        maxw_al = -(-int(read.max_crop_w) // align) * align
+        maxw = -(-int(read.max_crop_w) // 32) * 32
+        maxw_al = -(-maxw // align) * align
         win_h = maxh + 8
         win_w = maxw_al + align
         if src_h % 8 or src_w % align or src_h < win_h or src_w < win_w:
             return None
+        core_h, core_w = maxh, maxw
     else:
         src_h, src_w = int(src.shape[1]), int(src.shape[2])
         if src_h % 8 or src_w % align:
             return None
         win_h, win_w = src_h, src_w
+        core_h, core_w = src_h, src_w
     vmem_bytes = win_h * win_w * nch * src.dtype.itemsize
     if vmem_bytes > 8 * 1024 * 1024:
         return None
-    return dict(align=align, win_h=win_h, win_w=win_w, src_h=src_h, src_w=src_w)
+    return dict(align=align, win_h=win_h, win_w=win_w, src_h=src_h,
+                src_w=src_w, core_h=core_h, core_w=core_w)
 
 
 # ---------------------------------------------------------------------------
@@ -249,6 +253,7 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
     assert geo is not None, "emitter called on unsupported geometry"
     align = geo["align"]
     win_h, win_w = geo["win_h"], geo["win_w"]
+    core_h, core_w = geo["core_h"], geo["core_w"]
     src_h, src_w = geo["src_h"], geo["src_w"]
     mode = read.aspect_ratio
 
@@ -386,20 +391,24 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
             dx = jnp.int32(0)
 
         # ---- interpolation matrices (exact rational weights, see axis_lerp),
-        # built on the VPU while the DMA flies
-        # vertical: (H_out, win_h)
+        # built on the VPU while the DMA flies. Taps are in CORE coordinates:
+        # the (dy, dx) alignment residual is removed by dynamically slicing
+        # the loaded window instead of shifting every weight — this shrinks
+        # the weight build and the horizontal matmul contraction from the
+        # padded window to the crop bucket (e.g. 768 -> 192 lanes).
+        # vertical: (H_out, core_h)
         row = jax.lax.broadcasted_iota(jnp.int32, (h_out, 1), 0)
         qy = row - oy
         iy0, iy1, wy = axis_lerp(qy, h, new_h)
         row_in = ((qy >= 0) & (qy < new_h)).astype(jnp.float32)
-        ky = jax.lax.broadcasted_iota(jnp.int32, (h_out, win_h), 1)
+        ky = jax.lax.broadcasted_iota(jnp.int32, (h_out, core_h), 1)
         wv = (
-            (ky == iy0 + dy) * (1.0 - wy) + (ky == iy1 + dy) * wy
+            (ky == iy0) * (1.0 - wy) + (ky == iy1) * wy
         ) * row_in
 
-        # horizontal: ONE wide matrix (lanes, C*W_out), channel-major columns
-        # j = c*W_out + xo; rows are interleaved lanes k = x*C + c. Folds the
-        # per-channel de-interleave and all three interpolations into a
+        # horizontal: ONE wide matrix (core_lanes, C*W_out), channel-major
+        # columns j = c*W_out + xo; rows are interleaved lanes k = x*C + c.
+        # Folds the per-channel de-interleave and all C interpolations into a
         # single MXU matmul.
         col2 = jax.lax.broadcasted_iota(jnp.int32, (1, nch * w_out), 1)
         xo2 = col2 % w_out
@@ -408,19 +417,23 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
         ix0, ix1, wx = axis_lerp(qx, w, new_w)
         col_in2 = ((qx >= 0) & (qx < new_w)).astype(jnp.float32)
         # row (lane) coordinates as COLUMN vectors: the integer div/rem runs
-        # on (lanes, 1), not the full (lanes, C*W_out) matrix — broadcasting
-        # does the rest (int division is expensive on the VPU)
-        kcol = jax.lax.broadcasted_iota(jnp.int32, (lanes, 1), 0)
+        # on (core_lanes, 1), not the full matrix — broadcasting does the
+        # rest (int division is expensive on the VPU)
+        kcol = jax.lax.broadcasted_iota(jnp.int32, (core_w * nch, 1), 0)
         k_x = kcol // nch
         k_c = kcol % nch
         wh_all = (
-            ((k_x == ix0 + dx) * (1.0 - wx) + (k_x == ix1 + dx) * wx)
+            ((k_x == ix0) * (1.0 - wx) + (k_x == ix1) * wx)
             * (k_c == cc2)
             * col_in2
         )
 
         plane_dma(z, z % 2).wait()
         win = window[z % 2]
+        if frame_mode:
+            win = jax.lax.dynamic_slice(
+                win, (dy, dx * nch), (core_h, core_w * nch)
+            )
         if dt.is_integer(win.dtype):
             # Mosaic has no direct u8->f32 cast; widen via int32 first
             win = win.astype(jnp.int32)
@@ -478,7 +491,7 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
         else int(np.prod(out_shape.shape)) * out_shape.dtype.itemsize
     )
     cost = pl.CostEstimate(
-        flops=2 * n_planes * nch * (win_h * lanes * w_out + h_out * win_h * w_out),
+        flops=2 * n_planes * nch * (core_h * core_w * nch * w_out + h_out * core_h * w_out),
         bytes_accessed=n_planes * win_h * lanes * src.dtype.itemsize + out_bytes,
         transcendentals=0,
     )
