@@ -82,10 +82,18 @@ ArrayLike = Union[np.ndarray, jnp.ndarray]
 _SourceLike = Union[ArrayLike, ReadOp]
 
 
+def _np_or_traced(value, dtype):
+    """Tiny factory constants stay numpy (cheap host path, converted at jit
+    dispatch); traced/jax values pass through."""
+    if isinstance(value, (jnp.ndarray, jax.core.Tracer)):
+        return value
+    return np.asarray(value, dtype)
+
+
 def _as_read(source: _SourceLike) -> ReadOp:
     if isinstance(source, ReadOp):
         return source
-    arr = jnp.asarray(source)
+    arr = source if isinstance(source, (jnp.ndarray, jax.core.Tracer)) else np.asarray(source)
     return ImageRead(data=arr, is_batch=(arr.ndim == 4))
 
 
@@ -105,32 +113,32 @@ def convert_to(dst_dtype, alpha: Optional[float] = None, beta: Optional[float] =
     stages: list = []
     if _dt.is_float(dst):
         stages.append(SaturateCast(dst=dst))
-        stages.append(Mul(value=jnp.asarray(alpha, dtype=dst)))
+        stages.append(Mul(value=_np_or_traced(alpha, dst)))
         if beta is not None:
-            stages.append(Add(value=jnp.asarray(beta, dtype=dst)))
+            stages.append(Add(value=_np_or_traced(beta, dst)))
     else:
         stages.append(Cast(dst=np.dtype(np.float32)))
-        stages.append(Mul(value=jnp.float32(alpha)))
+        stages.append(Mul(value=_np_or_traced(alpha, np.float32)))
         if beta is not None:
-            stages.append(Add(value=jnp.float32(beta)))
+            stages.append(Add(value=_np_or_traced(beta, np.float32)))
         stages.append(SaturateCast(dst=dst))
     return FusedCompute(ops=tuple(stages))
 
 
 def multiply(value) -> ComputeOp:
-    return Mul(value=jnp.asarray(value, jnp.float32))
+    return Mul(value=_np_or_traced(value, np.float32))
 
 
 def add(value) -> ComputeOp:
-    return Add(value=jnp.asarray(value, jnp.float32))
+    return Add(value=_np_or_traced(value, np.float32))
 
 
 def subtract(value) -> ComputeOp:
-    return Sub(value=jnp.asarray(value, jnp.float32))
+    return Sub(value=_np_or_traced(value, np.float32))
 
 
 def divide(value) -> ComputeOp:
-    return Div(value=jnp.asarray(value, jnp.float32))
+    return Div(value=_np_or_traced(value, np.float32))
 
 
 def cvt_color(code: ColorConversionCode) -> ComputeOp:
@@ -171,7 +179,7 @@ def image(source: ArrayLike) -> ReadOp:
 
 
 def read_yuv(buffer: ArrayLike, pixel_format: PixelFormat = PixelFormat.NV12) -> ReadOp:
-    return ReadYUV(buffer=jnp.asarray(buffer), pixel_format=pixel_format)
+    return ReadYUV(buffer=buffer if isinstance(buffer, (jnp.ndarray, jax.core.Tracer)) else np.asarray(buffer), pixel_format=pixel_format)
 
 
 def crop(source=None, rect: Optional[Rect] = None):
@@ -188,8 +196,8 @@ def crop(source=None, rect: Optional[Rect] = None):
     def build(src: ReadOp) -> ReadOp:
         return CropRead(
             source=src,
-            x=jnp.asarray(rect.x, jnp.int32),
-            y=jnp.asarray(rect.y, jnp.int32),
+            x=_np_or_traced(rect.x, np.int32),
+            y=_np_or_traced(rect.y, np.int32),
             width=int(rect.width),
             height=int(rect.height),
         )
@@ -266,9 +274,9 @@ def resize_batch(
       letterbox borders for PRESERVE_AR modes.
     """
     if rects is not None:
-        frame = jnp.asarray(source)
+        frame = source if isinstance(source, (jnp.ndarray, jax.core.Tracer)) else np.asarray(source)
         is_concrete = not isinstance(rects, jax.core.Tracer)
-        rect_arr = jnp.asarray(rects, jnp.int32)
+        rect_arr = rects if isinstance(rects, jax.core.Tracer) else np.asarray(rects, np.int32)
         if rect_arr.ndim != 2 or rect_arr.shape[1] != 4:
             raise ValueError("rects must be (N, 4) [x, y, w, h]")
         nch = channels or (frame.shape[-1] if frame.ndim == 3 else 1)
@@ -284,8 +292,8 @@ def resize_batch(
             frame=frame,
             stack=None,
             rects=rect_arr,
-            used_planes=None if used_planes is None else jnp.asarray(used_planes, jnp.int32),
-            background=_dt.as_channel_vector(background, nch, jnp.float32),
+            used_planes=None if used_planes is None else _np_or_traced(used_planes, np.int32),
+            background=_dt.as_channel_vector(background, nch, np.float32),
             dsize=dsize,
             aspect_ratio=aspect_ratio,
             interp=interpolation,
@@ -310,10 +318,10 @@ def resize_batch(
         rect_list.append((0, 0, im.shape[1], im.shape[0]))
     return BatchResizeRead(
         frame=None,
-        stack=jnp.asarray(stack),
-        rects=jnp.asarray(rect_list, jnp.int32),
-        used_planes=None if used_planes is None else jnp.asarray(used_planes, jnp.int32),
-        background=_dt.as_channel_vector(background, nch, jnp.float32),
+        stack=stack,
+        rects=np.asarray(rect_list, np.int32),
+        used_planes=None if used_planes is None else _np_or_traced(used_planes, np.int32),
+        background=_dt.as_channel_vector(background, nch, np.float32),
         dsize=dsize,
         aspect_ratio=aspect_ratio,
         interp=interpolation,
@@ -352,7 +360,7 @@ def warp(
     terms = decompose_inverse_map(inv, dsize)
     return WarpRead(
         source=src,
-        default=_dt.as_channel_vector(default, nch, jnp.float32),
+        default=_dt.as_channel_vector(default, nch, np.float32),
         dsize=dsize,
         warp_type=warp_type,
         **terms,
@@ -379,7 +387,7 @@ def make_border(
     mode = mode or BorderMode.REFLECT_101
     return BorderRead(
         source=_as_read(source),
-        value=jnp.asarray(value, jnp.float32),
+        value=_np_or_traced(value, np.float32),
         top=int(top), bottom=int(bottom), left=int(left), right=int(right),
         mode=mode,
     )
@@ -394,14 +402,15 @@ def batch_read(
     read ops."""
     return BatchRead(
         ops=tuple(ops),
-        used_planes=None if used_planes is None else jnp.asarray(used_planes, jnp.int32),
-        default=None if default is None else jnp.asarray(default, jnp.float32),
+        used_planes=None if used_planes is None else _np_or_traced(used_planes, np.int32),
+        default=None if default is None else _np_or_traced(default, np.float32),
     )
 
 
 def circular_batch_read(data: ArrayLike, first, ascendent: bool = True) -> ReadOp:
     return CircularBatchRead(
-        data=jnp.asarray(data), first=jnp.asarray(first, jnp.int32), ascendent=ascendent
+        data=data if isinstance(data, (jnp.ndarray, jax.core.Tracer)) else np.asarray(data),
+        first=_np_or_traced(first, np.int32), ascendent=ascendent
     )
 
 

@@ -108,12 +108,28 @@ def as_channel_vector(value: ScalarLike, num_channels: int, dtype: DTypeLike = j
     ``include/cvGPUSpeedupHelpers.cuh:38-69``). A python scalar broadcasts to all
     channels (``make_set``); a sequence must have ``num_channels`` entries.
     """
-    arr = jnp.asarray(value, dtype=jnp.dtype(dtype))
+    # numpy (not jnp) on purpose: factory-built constants are pytree leaves
+    # converted once at jit dispatch; per-call jnp dispatch of tiny arrays
+    # costs ~50us each on the host (the reference's "graph build ~ free"
+    # contract applies to us too)
+    if isinstance(value, jnp.ndarray):
+        arr = value.astype(jnp.dtype(dtype))
+        if arr.ndim == 0:
+            return jnp.broadcast_to(arr, (num_channels,))
+        arr = arr.reshape(-1)
+        if arr.shape[0] == 1:
+            return jnp.broadcast_to(arr[0], (num_channels,))
+        if arr.shape[0] != num_channels:
+            raise ValueError(
+                f"scalar has {arr.shape[0]} components, image has {num_channels} channels"
+            )
+        return arr
+    arr = np.asarray(value, dtype=np.dtype(dtype))
     if arr.ndim == 0:
-        return jnp.full((num_channels,), arr, dtype=arr.dtype)
+        return np.full((num_channels,), arr, dtype=arr.dtype)
     arr = arr.reshape(-1)
     if arr.shape[0] == 1:
-        return jnp.full((num_channels,), arr[0], dtype=arr.dtype)
+        return np.full((num_channels,), arr[0], dtype=arr.dtype)
     if arr.shape[0] != num_channels:
         raise ValueError(
             f"scalar has {arr.shape[0]} components, image has {num_channels} channels"
