@@ -430,13 +430,17 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
 
         plane_dma(z, z % 2).wait()
         win = window[z % 2]
-        if frame_mode:
-            win = jax.lax.dynamic_slice(
-                win, (dy, dx * nch), (core_h, core_w * nch)
-            )
         if dt.is_integer(win.dtype):
-            # Mosaic has no direct u8->f32 cast; widen via int32 first
+            # Mosaic has no direct u8->f32 cast (and dynamic rotates need
+            # 32-bit data); widen via int32 first
             win = win.astype(jnp.int32)
+        if frame_mode:
+            # remove the DMA-alignment residual with dynamic rotates + a
+            # static slice (Mosaic lowers pltpu.roll to tpu.dynamic_rotate;
+            # neither value- nor ref-level dynamic_slice lowers in TC kernels)
+            win = pltpu.roll(win, -dy, 0)
+            win = pltpu.roll(win, -dx * nch, 1)
+            win = win[:core_h, : core_w * nch]
         win = win.astype(jnp.float32)
 
         tmp = jax.lax.dot_general(
