@@ -45,9 +45,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def sync(x):
-    """Real device sync: a scalar transfer (block_until_ready lies here)."""
-    return jax.device_get(jnp.ravel(jax.tree_util.tree_leaves(x)[0])[0])
+from cvgpuspeedup_tpu.utils.profiling import transfer_sync as sync  # noqa: E402
 
 
 def build_pipeline(frame, rects):

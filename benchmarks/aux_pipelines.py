@@ -26,8 +26,7 @@ import cvgpuspeedup_tpu as cvgs
 from cvgpuspeedup_tpu.utils.profiling import BenchmarkRecorder, TimingStats
 
 
-def sync(x):
-    return jax.device_get(jnp.ravel(jax.tree_util.tree_leaves(x)[0])[0])
+from cvgpuspeedup_tpu.utils.profiling import transfer_sync as sync  # noqa: E402
 
 
 def diff_time(step_fn, payload, n_small=10, n_large=210):

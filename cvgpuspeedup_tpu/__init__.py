@@ -110,6 +110,8 @@ def convert_to(dst_dtype, alpha: Optional[float] = None, beta: Optional[float] =
     dst = np.dtype(dst_dtype)
     if alpha is None and beta is None:
         return SaturateCast(dst=dst)
+    if alpha is None:
+        alpha = 1.0  # OpenCV convertTo default when only beta is given
     stages: list = []
     if _dt.is_float(dst):
         stages.append(SaturateCast(dst=dst))

@@ -72,10 +72,19 @@ class CircularTensor:
         self._tensor = arr
         self._update_cache = {}
 
-    # reference .ptr()/.tensor access
+    # reference .ptr()/.tensor access. NOTE: like the reference's .ptr(),
+    # this is a LIVE view of the ring: the next update() donates the buffer
+    # to XLA for the in-place shift, which invalidates previously returned
+    # arrays on devices that honor donation. Use snapshot() to keep a copy
+    # across updates.
     @property
     def tensor(self) -> jnp.ndarray:
         return self._tensor
+
+    def snapshot(self) -> jnp.ndarray:
+        """A copy of the ring that stays valid across future update()s
+        (update donates the previous buffer for the in-place shift)."""
+        return jnp.copy(self._tensor)
 
     @property
     def shape(self) -> Tuple[int, ...]:
@@ -191,5 +200,8 @@ class CircularTensor:
             planes=ColorPlanes(str(d["planes"])),
             dtype=d["tensor"].dtype, device=device,
         )
-        ct._tensor = jnp.asarray(d["tensor"])
+        payload = jnp.asarray(d["tensor"])
+        if device is not None:
+            payload = jax.device_put(payload, device)
+        ct._tensor = payload
         return ct

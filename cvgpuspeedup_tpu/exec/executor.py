@@ -229,17 +229,31 @@ def launch_divergent_batch(
         raise ValueError("need at least one operation sequence")
 
     seqs = list(sequences)
+    # Evaluate the static selector up front into a hashable id tuple so the
+    # compile cache keys on plane ROUTING, not on the callable's identity
+    # (callers naturally pass fresh lambdas per call). A precomputed
+    # sequence of ids is also accepted directly.
+    n_planes = jax.eval_shape(seqs[0].read.lower).shape[0]
+    if callable(selector):
+        plane_ids = tuple(selector(z) for z in range(n_planes))
+    else:
+        plane_ids = tuple(int(i) for i in selector)
+        if len(plane_ids) != n_planes:
+            raise ValueError(
+                f"selector list has {len(plane_ids)} entries for {n_planes} planes"
+            )
+    for z, sid in enumerate(plane_ids):
+        if not 1 <= sid <= len(seqs):
+            raise ValueError(f"selector({z}) = {sid} out of range")
 
     def run(seq_list):
         # group planes by sequence id at trace time (the selector is static,
         # like the reference's constexpr SequenceSelector::at) so each
         # sequence computes ONLY its own planes, then scatter back in order
-        n = jax.eval_shape(seq_list[0].read.lower).shape[0]
+        n = n_planes
         groups: dict = {}
         for z in range(n):
-            sid = selector(z)
-            if not 1 <= sid <= len(seq_list):
-                raise ValueError(f"selector({z}) = {sid} out of range")
+            sid = plane_ids[z]
             groups.setdefault(sid, []).append(z)
         merged = None
         for sid, planes in groups.items():
@@ -253,7 +267,7 @@ def launch_divergent_batch(
         return seq_list[0].write.write(merged)
 
     leaves, treedef = jax.tree_util.tree_flatten(seqs)
-    key = (treedef, "divergent", selector, backend)
+    key = (treedef, "divergent", plane_ids, backend)
     fn = _CACHE.get(key)
     if fn is None:
 

@@ -99,8 +99,13 @@ def _window_geometry(read) -> Optional[dict]:
             return None
         win_h, win_w = src_h, src_w
         core_h, core_w = src_h, src_w
-    vmem_bytes = win_h * win_w * nch * src.dtype.itemsize
-    if vmem_bytes > 8 * 1024 * 1024:
+    # real footprint: 2-slot window ring + i32-widened/f32 core copies +
+    # interpolation matrices + output tiles; bound it well under the ~16MB
+    # VMEM so Mosaic never fails allocation after supports() said yes
+    window_bytes = 2 * win_h * win_w * nch * src.dtype.itemsize
+    core_bytes = 2 * core_h * core_w * nch * 4  # i32 widen + f32 copy
+    vmem_bytes = window_bytes + core_bytes
+    if vmem_bytes > 6 * 1024 * 1024:
         return None
     return dict(align=align, win_h=win_h, win_w=win_w, src_h=src_h,
                 src_w=src_w, core_h=core_h, core_w=core_w)

@@ -47,6 +47,10 @@ from ..types import ParBackend
 
 __all__ = ["make_mesh", "execute_sharded", "scaling_efficiency"]
 
+# compile cache: (treedef, mesh, backend) -> jitted shard_map program, so
+# parameter-only changes reuse the compiled program like execute_operations
+_SHARD_CACHE: dict = {}
+
 #: pipeline-leaf field names that carry the plane (batch) axis as dim 0
 _PLANE_AXIS_FIELDS = ("rects", "stack", "data")
 
@@ -118,20 +122,25 @@ def execute_sharded(
     else:
         out_spec = P(axis)
 
-    def local_run(*lv):
-        p: Pipeline = jax.tree_util.tree_unflatten(treedef, list(lv))
-        rd = p.read
-        if isinstance(rd, BatchResizeRead) and rd.used_planes is not None:
-            # rebase the global ragged count onto this shard's plane range
-            idx = jax.lax.axis_index(axis)
-            local_used = jnp.clip(rd.used_planes - idx * local_n, 0, local_n)
-            rd = dataclasses.replace(rd, used_planes=local_used)
-            p = dataclasses.replace(p, read=rd)
-        return _lower_with_backend(p, backend)
+    cache_key = (treedef, mesh, backend, axis)
+    jitted = _SHARD_CACHE.get(cache_key)
+    if jitted is None:
 
-    fn = shard_map(local_run, mesh, in_specs=specs, out_specs=out_spec)
+        def local_run(*lv):
+            p: Pipeline = jax.tree_util.tree_unflatten(treedef, list(lv))
+            rd = p.read
+            if isinstance(rd, BatchResizeRead) and rd.used_planes is not None:
+                # rebase the global ragged count onto this shard's plane range
+                idx = jax.lax.axis_index(axis)
+                local_used = jnp.clip(rd.used_planes - idx * local_n, 0, local_n)
+                rd = dataclasses.replace(rd, used_planes=local_used)
+                p = dataclasses.replace(p, read=rd)
+            return _lower_with_backend(p, backend)
+
+        jitted = jax.jit(shard_map(local_run, mesh, in_specs=specs, out_specs=out_spec))
+        _SHARD_CACHE[cache_key] = jitted
     with mesh:
-        return jax.jit(fn)(*leaves)
+        return jitted(*leaves)
 
 
 def scaling_efficiency(images_per_sec_n: float, images_per_sec_1: float, n: int) -> float:

@@ -137,6 +137,17 @@ class camera_pipeline:
         self.pixel_format = pixel_format
 
     def __call__(self, nv12_buffer):
+        if self.out_size is None:
+            # conversion (incl. alpha) entirely inside one fused program
+            return execute_operations(
+                read_yuv(nv12_buffer, pixel_format=self.pixel_format),
+                convert_yuv_to_rgb(
+                    color_range=self.color_range, standard=self.standard,
+                    alpha=self.alpha, out_dtype=np.uint8,
+                ),
+            )
+        from .. import ColorConversionCode, cvt_color
+
         virtual = fuse(
             read_yuv(nv12_buffer, pixel_format=self.pixel_format),
             convert_yuv_to_rgb(
@@ -144,14 +155,8 @@ class camera_pipeline:
                 alpha=False, out_dtype=np.float32,
             ),
         )
-        if self.out_size is not None:
-            ops = [resize(virtual, self.out_size), convert_to(np.uint8)]
-        else:
-            ops = [virtual, convert_to(np.uint8)]
-        out = execute_operations(*ops)
+        ops = [resize(virtual, self.out_size), convert_to(np.uint8)]
         if self.alpha:
-            import jax.numpy as jnp
-
-            a = jnp.full(out.shape[:-1] + (1,), 255, dtype=out.dtype)
-            out = jnp.concatenate([out, a], axis=-1)
-        return out
+            # alpha appended inside the same fused program (RGB -> RGBA)
+            ops.append(cvt_color(ColorConversionCode.COLOR_RGB2RGBA))
+        return execute_operations(*ops)

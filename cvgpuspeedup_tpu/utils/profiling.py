@@ -30,6 +30,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def transfer_sync(x):
+    """True device sync via a tiny scalar transfer — for environments where
+    ``block_until_ready`` returns before execution finishes (e.g. tunneled
+    TPUs). The canonical sync used by bench.py / benchmarks/*."""
+    return jax.device_get(jnp.ravel(jax.tree_util.tree_leaves(x)[0])[0])
+
+
 @contextlib.contextmanager
 def trace_scope(name: str):
     """Named profiler range (NVTX PUSH_RANGE/POP_RANGE analog)."""

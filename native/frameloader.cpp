@@ -75,9 +75,13 @@ void prefetch_loop(Loader* L) {
       if (L->next_to_read >= L->total_frames) return;  // EOF: stop prefetching
       slot = L->free_slots.front();
       L->free_slots.pop_front();
+      // publish the claim under the lock: flv_next's wait predicate reads
+      // slot indices and next_to_read to detect in-flight work, so both
+      // must be updated while the mutex is held (no claimed-but-unindexed
+      // window -> no premature-EOF race)
+      L->ring[slot].index = L->next_to_read++;
     }
     Slot& s = L->ring[slot];
-    s.index = L->next_to_read++;
     size_t got = fread(s.data, 1, L->frame_bytes, L->file);
     {
       std::lock_guard<std::mutex> lk(L->mu);
@@ -87,6 +91,7 @@ void prefetch_loop(Loader* L) {
       } else {
         // short read: treat as EOF
         L->total_frames = s.index;
+        s.index = -1;
         L->free_slots.push_back(slot);
       }
     }

@@ -78,3 +78,46 @@ def test_int16_negative_saturate(rng):
     ))
     ref = np.clip(np.rint(img), -32768, 32767).astype(np.int16)
     check_exact(out, ref, "negative saturate")
+
+
+def test_convert_to_beta_only(rng):
+    """Regression: beta without alpha must default alpha to 1.0 (OpenCV
+    semantics), not corrupt the pipeline with NaN."""
+    img = np.full((4, 4, 3), 100, np.uint8)
+    out = np.asarray(cvgs.execute_operations(
+        cvgs.image(img), cvgs.convert_to(np.uint8, beta=10.0)
+    ))
+    assert np.all(out == 110)
+    outf = np.asarray(cvgs.execute_operations(
+        cvgs.image(img), cvgs.convert_to(np.float32, beta=10.0)
+    ))
+    assert np.all(outf == 110.0)
+
+
+def test_divergent_accepts_id_list(rng):
+    data = rng.random((4, 4, 4, 1), dtype=np.float32)
+    seq1 = cvgs.build_operation_sequence(cvgs.image(data), cvgs.multiply(2.0))
+    seq2 = cvgs.build_operation_sequence(cvgs.image(data))
+    out = np.asarray(cvgs.launch_divergent_batch([1, 2, 1, 2], seq1, seq2))
+    check_float(out[0], data[0] * 2.0)
+    check_float(out[1], data[1])
+
+
+def test_divergent_lambda_reuses_cache(rng):
+    """Fresh lambdas with identical routing must hit the compile cache."""
+    from cvgpuspeedup_tpu.exec import executor
+    data = rng.random((4, 4, 4, 1), dtype=np.float32)
+    executor.clear_cache()
+    for _ in range(3):
+        seq = cvgs.build_operation_sequence(cvgs.image(data), cvgs.add(1.0))
+        cvgs.launch_divergent_batch(lambda z: 1, seq)
+    n = sum(1 for k in executor._CACHE if "divergent" in str(k))
+    assert n == 1
+
+
+def test_circular_tensor_snapshot():
+    ct = cvgs.CircularTensor(width=4, height=4, channels=3, batch=2)
+    ct.update(input=np.full((4, 4, 3), 1, np.uint8))
+    snap = ct.snapshot()
+    ct.update(input=np.full((4, 4, 3), 2, np.uint8))
+    assert float(np.asarray(snap)[0, 0, 0, 0]) == 1.0
