@@ -283,6 +283,7 @@ def resize_batch(
             raise ValueError("rects must be (N, 4) [x, y, w, h]")
         nch = channels or (frame.shape[-1] if frame.ndim == 3 else 1)
         max_w = max_h = None
+        uniform_wh = None
         if is_concrete:
             r_np = np.asarray(rects)
             fh, fw = int(frame.shape[0]), int(frame.shape[1])
@@ -290,6 +291,8 @@ def resize_batch(
             # never recompiles the fused kernel
             max_w = min(fw, int(-(-int(r_np[:, 2].max()) // 32) * 32))
             max_h = min(fh, int(-(-int(r_np[:, 3].max()) // 8) * 8))
+            if len(set(r_np[:, 2])) == 1 and len(set(r_np[:, 3])) == 1:
+                uniform_wh = (int(r_np[0, 2]), int(r_np[0, 3]))
         return BatchResizeRead(
             frame=frame,
             stack=None,
@@ -301,6 +304,7 @@ def resize_batch(
             interp=interpolation,
             max_crop_w=max_w,
             max_crop_h=max_h,
+            uniform_wh=uniform_wh,
         )
     imgs = [np.asarray(s) for s in source]
     nch = channels or (imgs[0].shape[-1] if imgs[0].ndim == 3 else 1)
@@ -318,10 +322,12 @@ def resize_batch(
             im = im[:, :, None]
         stack[z, : im.shape[0], : im.shape[1], :] = im
         rect_list.append((0, 0, im.shape[1], im.shape[0]))
+    _dims = {(r[2], r[3]) for r in rect_list}
     return BatchResizeRead(
         frame=None,
         stack=stack,
         rects=np.asarray(rect_list, np.int32),
+        uniform_wh=(_dims.pop() if len(_dims) == 1 else None),
         used_planes=None if used_planes is None else _np_or_traced(used_planes, np.int32),
         background=_dt.as_channel_vector(background, nch, np.float32),
         dsize=dsize,

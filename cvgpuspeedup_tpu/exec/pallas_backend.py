@@ -243,6 +243,90 @@ def try_lower(pipeline, *, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 
+def _letterbox_static(crop_w: int, crop_h: int, dsize, mode):
+    """Numpy replica of ops.resize.letterbox_geometry for concrete ints
+    (same float32/trunc arithmetic; jnp inside a jit trace would produce
+    tracers even for concrete inputs)."""
+    from ..types import AspectRatio as AR
+
+    dst_w, dst_h = dsize.width, dsize.height
+    if mode == AR.IGNORE_AR:
+        return dst_w, dst_h, 0, 0
+    scale = np.float32(dst_h) / np.float32(crop_h)
+    new_w = int(np.float32(scale * np.float32(crop_w)))
+    if new_w > dst_w:
+        scale2 = np.float32(dst_w) / np.float32(crop_w)
+        new_w = dst_w
+        new_h = int(np.float32(scale2 * np.float32(crop_h)))
+    else:
+        new_h = dst_h
+    if mode == AR.PRESERVE_AR_RN_EVEN:
+        new_w = min(((new_w + 1) // 2) * 2, dst_w)
+        new_h = min(((new_h + 1) // 2) * 2, dst_h)
+    if mode == AR.PRESERVE_AR_LEFT:
+        ox = oy = 0
+    else:
+        ox = (dst_w - new_w) // 2
+        oy = (dst_h - new_h) // 2
+    return new_w, new_h, ox, oy
+
+
+def _axis_lerp_static(q, src_len: int, dst_len: int):
+    """Numpy replica of ops.resize.axis_lerp (exact integer rational math,
+    f32 weight division) for concrete geometry."""
+    q = np.asarray(q, np.int64)
+    num = (2 * q + 1) * src_len - dst_len
+    den = 2 * dst_len
+    i0 = num // den
+    w = ((num - i0 * den).astype(np.float32) / np.float32(den)).astype(np.float32)
+    w = np.where(i0 < 0, np.float32(0.0), w)
+    i0 = np.maximum(i0, 0)
+    w = np.where(i0 >= src_len - 1, np.float32(0.0), w)
+    i0 = np.minimum(i0, src_len - 1)
+    i1 = np.minimum(i0 + 1, src_len - 1)
+    return i0, i1, w.astype(np.float32)
+
+
+def _build_weights(z, rect_of, h_out, w_out, nch, core_h, core_w, dsize, mode):
+    """Per-plane interpolation matrices (exact rational weights, see
+    axis_lerp), built on the VPU while the DMA flies. Taps are in CORE
+    coordinates: the (dy, dx) alignment residual is removed by rotating the
+    loaded window, which keeps the weight build and the horizontal matmul
+    contraction at the crop bucket instead of the padded window."""
+    w = rect_of(z, 2)
+    h = rect_of(z, 3)
+    new_w, new_h, ox, oy = letterbox_geometry(w, h, dsize, mode)
+    # vertical: (H_out, core_h)
+    row = jax.lax.broadcasted_iota(jnp.int32, (h_out, 1), 0)
+    qy = row - oy
+    iy0, iy1, wy = axis_lerp(qy, h, new_h)
+    row_in = ((qy >= 0) & (qy < new_h)).astype(jnp.float32)
+    ky = jax.lax.broadcasted_iota(jnp.int32, (h_out, core_h), 1)
+    wv = ((ky == iy0) * (1.0 - wy) + (ky == iy1) * wy) * row_in
+    # horizontal: ONE wide matrix (core_lanes, C*W_out), channel-major
+    # columns j = c*W_out + xo; rows are interleaved lanes k = x*C + c.
+    # Folds the per-channel de-interleave and all C interpolations into a
+    # single MXU matmul.
+    col2 = jax.lax.broadcasted_iota(jnp.int32, (1, nch * w_out), 1)
+    xo2 = col2 % w_out
+    cc2 = col2 // w_out
+    qx = xo2 - ox
+    ix0, ix1, wx = axis_lerp(qx, w, new_w)
+    col_in2 = ((qx >= 0) & (qx < new_w)).astype(jnp.float32)
+    # row (lane) coordinates as COLUMN vectors: the integer div/rem runs
+    # on (core_lanes, 1), not the full matrix — broadcasting does the
+    # rest (int division is expensive on the VPU)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (core_w * nch, 1), 0)
+    k_x = kcol // nch
+    k_c = kcol % nch
+    wh_all = (
+        ((k_x == ix0) * (1.0 - wx) + (k_x == ix1) * wx)
+        * (k_c == cc2)
+        * col_in2
+    )
+    return wv, wh_all, row_in
+
+
 def _emit_batch_resize(pipeline, *, interpret: bool):
     read: BatchResizeRead = pipeline.read
     chain = pipeline.compute
@@ -296,6 +380,44 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
     else:
         src2d = src.reshape(n_planes, src_h, src_w * nch)
 
+    # plane-invariant interpolation matrices: when every rect shares one
+    # (w, h), the weights depend only on static geometry — bake them host-
+    # side (same f32 ops as the in-kernel build, via axis_lerp on concrete
+    # values) and feed them as VMEM inputs with a constant index map, so
+    # Mosaic fetches them once per launch instead of rebuilding per plane
+    weight_consts = None
+    if read.uniform_wh is not None:
+        w_c, h_c = int(read.uniform_wh[0]), int(read.uniform_wh[1])
+        new_w_c, new_h_c, ox_c, oy_c = _letterbox_static(w_c, h_c, dsize, mode)
+        one = np.float32(1.0)
+        qy = np.arange(h_out, dtype=np.int64) - oy_c
+        iy0, iy1, wy = _axis_lerp_static(qy, h_c, new_h_c)
+        row_in = ((qy >= 0) & (qy < new_h_c)).astype(np.float32)
+        ky = np.arange(core_h)[None, :]
+        wv_const = (
+            (ky == iy0[:, None]) * (one - wy[:, None])
+            + (ky == iy1[:, None]) * wy[:, None]
+        ).astype(np.float32) * row_in[:, None]
+        col2 = np.arange(nch * w_out, dtype=np.int64)
+        xo2 = col2 % w_out
+        cc2 = col2 // w_out
+        qx = xo2 - ox_c
+        ix0, ix1, wx = _axis_lerp_static(qx, w_c, new_w_c)
+        col_in_c = ((qx >= 0) & (qx < new_w_c)).astype(np.float32)
+        kk = np.arange(core_w * nch, dtype=np.int64)
+        kx = (kk // nch)[:, None]
+        kc = (kk % nch)[:, None]
+        wh_const = (
+            ((kx == ix0[None, :]) * (one - wx[None, :])
+             + (kx == ix1[None, :]) * wx[None, :])
+            * (kc == cc2[None, :])
+        ).astype(np.float32) * col_in_c[None, :]
+        weight_consts = (
+            jnp.asarray(wv_const, jnp.float32),
+            jnp.asarray(wh_const, jnp.float32),
+            (new_w_c, new_h_c, ox_c, oy_c),
+        )
+
     # ---- output layout ----
     if isinstance(write, TensorSplit):
         out_shape = jax.ShapeDtypeStruct((n_planes, out_ch, h_out, w_out), out_dtype)
@@ -325,6 +447,9 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
     lanes = win_w * nch
 
     def kernel(ip_ref, fp_ref, src_ref, *rest):
+        if weight_consts is not None:
+            wv_ref, wh_ref = rest[0], rest[1]
+            rest = rest[2:]
         if isinstance(out_shape, tuple):
             out_refs = rest[: len(out_shape)]
             window, sem = rest[len(out_shape) :]
@@ -385,9 +510,12 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
 
         x0 = rect_of(z, 0)
         y0 = rect_of(z, 1)
-        w = rect_of(z, 2)
-        h = rect_of(z, 3)
-        new_w, new_h, ox, oy = letterbox_geometry(w, h, dsize, mode)
+        if weight_consts is None:
+            w = rect_of(z, 2)
+            h = rect_of(z, 3)
+            new_w, new_h, ox, oy = letterbox_geometry(w, h, dsize, mode)
+        else:
+            new_w, new_h, ox, oy = weight_consts[2]
         if frame_mode:
             dy = y0 - jnp.minimum((y0 // 8) * 8, src_h - win_h)
             dx = x0 - jnp.minimum((x0 // align) * align, src_w - win_w)
@@ -395,43 +523,16 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
             dy = jnp.int32(0)
             dx = jnp.int32(0)
 
-        # ---- interpolation matrices (exact rational weights, see axis_lerp),
-        # built on the VPU while the DMA flies. Taps are in CORE coordinates:
-        # the (dy, dx) alignment residual is removed by dynamically slicing
-        # the loaded window instead of shifting every weight — this shrinks
-        # the weight build and the horizontal matmul contraction from the
-        # padded window to the crop bucket (e.g. 768 -> 192 lanes).
-        # vertical: (H_out, core_h)
-        row = jax.lax.broadcasted_iota(jnp.int32, (h_out, 1), 0)
-        qy = row - oy
-        iy0, iy1, wy = axis_lerp(qy, h, new_h)
-        row_in = ((qy >= 0) & (qy < new_h)).astype(jnp.float32)
-        ky = jax.lax.broadcasted_iota(jnp.int32, (h_out, core_h), 1)
-        wv = (
-            (ky == iy0) * (1.0 - wy) + (ky == iy1) * wy
-        ) * row_in
-
-        # horizontal: ONE wide matrix (core_lanes, C*W_out), channel-major
-        # columns j = c*W_out + xo; rows are interleaved lanes k = x*C + c.
-        # Folds the per-channel de-interleave and all C interpolations into a
-        # single MXU matmul.
-        col2 = jax.lax.broadcasted_iota(jnp.int32, (1, nch * w_out), 1)
-        xo2 = col2 % w_out
-        cc2 = col2 // w_out
-        qx = xo2 - ox
-        ix0, ix1, wx = axis_lerp(qx, w, new_w)
-        col_in2 = ((qx >= 0) & (qx < new_w)).astype(jnp.float32)
-        # row (lane) coordinates as COLUMN vectors: the integer div/rem runs
-        # on (core_lanes, 1), not the full matrix — broadcasting does the
-        # rest (int division is expensive on the VPU)
-        kcol = jax.lax.broadcasted_iota(jnp.int32, (core_w * nch, 1), 0)
-        k_x = kcol // nch
-        k_c = kcol % nch
-        wh_all = (
-            ((k_x == ix0) * (1.0 - wx) + (k_x == ix1) * wx)
-            * (k_c == cc2)
-            * col_in2
-        )
+        if weight_consts is not None:
+            # plane-invariant weights, fetched once per launch
+            wv = wv_ref[...]
+            wh_all = wh_ref[...]
+            row = jax.lax.broadcasted_iota(jnp.int32, (h_out, 1), 0)
+            row_in = ((row - oy >= 0) & (row - oy < new_h)).astype(jnp.float32)
+        else:
+            wv, wh_all, row_in = _build_weights(
+                z, rect_of, h_out, w_out, nch, core_h, core_w, dsize, mode
+            )
 
         plane_dma(z, z % 2).wait()
         win = window[z % 2]
@@ -483,10 +584,22 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
             for c, p in enumerate(planes):
                 out_refs[c][0] = p
 
+    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
+    extra_inputs = []
+    if weight_consts is not None:
+        # whole-array VMEM blocks with a constant index map: Mosaic fetches
+        # them once and reuses across grid steps
+        wv_c, wh_c, _ = weight_consts
+        in_specs.append(pl.BlockSpec(wv_c.shape, lambda z, *_: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(wh_c.shape, lambda z, *_: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        extra_inputs = [wv_c, wh_c]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_planes,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        in_specs=in_specs,
         out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((2, win_h, lanes), src.dtype),
@@ -511,7 +624,7 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
         out_shape=out_shape,
         interpret=interpret,
         cost_estimate=cost,
-    )(iparams, fparams, src2d)
+    )(iparams, fparams, src2d, *extra_inputs)
 
     if isinstance(write, Write2D) and not isinstance(write, TensorWrite):
         return result  # packed batch output (N, H, W, C)

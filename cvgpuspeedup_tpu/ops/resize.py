@@ -275,6 +275,10 @@ class BatchResizeRead(ReadOp):
     # geometry, bucketed so jiggling rect sizes never recompiles.
     max_crop_w: Optional[int] = static_field(default=None)
     max_crop_h: Optional[int] = static_field(default=None)
+    # Set when every rect shares one (w, h): the interpolation matrices are
+    # then plane-invariant and the Pallas emitter bakes them as constants
+    # fetched once per launch instead of rebuilding per plane.
+    uniform_wh: Optional[tuple] = static_field(default=None)
 
     batched = True
 
