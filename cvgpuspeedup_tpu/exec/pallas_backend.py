@@ -56,7 +56,7 @@ from ..ops.cast import Cast, SaturateCast
 from ..ops.color import _CODE_INFO, _B2Y, _G2Y, _GRAY_SHIFT, _R2Y, ColorConversion, VectorReorder
 from ..ops.memory import SplitWrite, TensorSplit, TensorTSplit, TensorWrite, Write2D
 from ..ops.resize import BatchResizeRead, axis_lerp, letterbox_geometry
-from ..types import InterpolationType
+from ..types import AspectRatio, InterpolationType
 from ..utils import dtypes as dt
 
 _HIGHEST = jax.lax.Precision.HIGHEST
@@ -132,6 +132,23 @@ def _apply_chain_planar(chain: Sequence[ComputeOp], planes: List[jnp.ndarray]):
     return planes
 
 
+class _ScalarVec:
+    """A per-channel parameter kept as separate SMEM scalars.
+
+    The kernel must not rebuild little vectors from prefetched scalars
+    (scalar->vector inserts are expensive in Mosaic); per-channel ops only
+    ever index one component, so a plain tuple suffices.
+    """
+
+    ndim = 1
+
+    def __init__(self, vals):
+        self.vals = tuple(vals)
+
+    def __getitem__(self, i):
+        return self.vals[i]
+
+
 def _apply_one_planar(op: ComputeOp, planes: List[jnp.ndarray]) -> List[jnp.ndarray]:
     if isinstance(op, FusedCompute):
         return _apply_chain_planar(op.ops, planes)
@@ -140,10 +157,10 @@ def _apply_one_planar(op: ComputeOp, planes: List[jnp.ndarray]) -> List[jnp.ndar
             planes = _apply_one_planar(op.body, planes)
         return planes
     if isinstance(op, _BinaryWithScalar):
-        v = jnp.asarray(op.value)
+        v = op.value if isinstance(op.value, _ScalarVec) else jnp.asarray(op.value)
         out = []
         for c, x in enumerate(planes):
-            vc = v if v.ndim == 0 else v[c]
+            vc = v if getattr(v, "ndim", 1) == 0 else v[c]
             out.append(type(op)(value=vc).apply(x))
         return out
     if isinstance(op, (SaturateCast, Cast)):
@@ -465,14 +482,16 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
         def bg_of(c):
             return fp_ref[c]
 
-        # rebuild the compute chain with in-kernel parameter values
+        # rebuild the compute chain with in-kernel parameter values; vector
+        # params stay as tuples of SMEM scalars (_ScalarVec) — no in-kernel
+        # scalar->vector materialization
         leaf_vals = []
         for shp, size, off in zip(leaf_shapes, leaf_sizes, leaf_offsets):
             if shp == ():
                 leaf_vals.append(fp_ref[int(off)])
             else:
                 leaf_vals.append(
-                    jnp.stack([fp_ref[int(off) + i] for i in range(size)])
+                    _ScalarVec(fp_ref[int(off) + i] for i in range(size))
                 )
         chain_k = jax.tree_util.tree_unflatten(chain_def, leaf_vals)
 
@@ -558,17 +577,22 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
             preferred_element_type=jnp.float32,
         )  # (H_out, C*W_out)
 
-        active = (z < used_count).astype(jnp.float32)
-        col_in_c = ((jax.lax.broadcasted_iota(jnp.int32, (1, w_out), 1) - ox >= 0)
-                    & (jax.lax.broadcasted_iota(jnp.int32, (1, w_out), 1) - ox < new_w)
-                    ).astype(jnp.float32)
-        inside = (row_in * col_in_c) * active  # (H_out, W_out)
-
+        needs_mask = (
+            mode != AspectRatio.IGNORE_AR or read.used_planes is not None
+        )
         planes = []
-        for c in range(nch):
-            val = vals[:, c * w_out : (c + 1) * w_out]
-            val = val * inside + bg_of(c) * (1.0 - inside)
-            planes.append(val)
+        if needs_mask:
+            active = (z < used_count).astype(jnp.float32)
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, w_out), 1)
+            col_in_c = ((col - ox >= 0) & (col - ox < new_w)).astype(jnp.float32)
+            inside = (row_in * col_in_c) * active  # (H_out, W_out)
+            for c in range(nch):
+                val = vals[:, c * w_out : (c + 1) * w_out]
+                val = val * inside + bg_of(c) * (1.0 - inside)
+                planes.append(val)
+        else:
+            for c in range(nch):
+                planes.append(vals[:, c * w_out : (c + 1) * w_out])
 
         planes = _apply_chain_planar(chain_k, planes)
 
