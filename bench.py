@@ -76,7 +76,9 @@ def make_scan_runner(pipeline, lower_fn, iters):
             out = lower_fn(p)
             if isinstance(out, (tuple, list)):
                 out = out[0]
-            probe = out.ravel()[0].astype(jnp.float32)
+            # single-element probe (NOT ravel: relinearizing the tiled output
+            # costs ~11us/iter and would pollute the kernel time)
+            probe = out[(0,) * out.ndim].astype(jnp.float32)
             return carry + probe, None
 
         total, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(iters))
