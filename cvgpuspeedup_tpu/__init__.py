@@ -277,6 +277,8 @@ def resize_batch(
     """
     if rects is not None:
         frame = source if isinstance(source, (jnp.ndarray, jax.core.Tracer)) else np.asarray(source)
+        if frame.ndim == 2:  # grayscale without channel axis
+            frame = frame[..., None]
         is_concrete = not isinstance(rects, jax.core.Tracer)
         rect_arr = rects if isinstance(rects, jax.core.Tracer) else np.asarray(rects, np.int32)
         if rect_arr.ndim != 2 or rect_arr.shape[1] != 4:
@@ -310,9 +312,9 @@ def resize_batch(
     nch = channels or (imgs[0].shape[-1] if imgs[0].ndim == 3 else 1)
     # pad the stack to TPU-tiling-aligned dims (8 rows, 128-lane pixel
     # boundary) so the Pallas emitter can DMA whole planes
-    import math as _math
+    from .exec.pallas_backend import _lane_align_px
 
-    _align = _math.lcm(128, nch) // nch
+    _align = _lane_align_px(nch)
     max_h = -(-max(i.shape[0] for i in imgs) // 8) * 8
     max_w = -(-max(i.shape[1] for i in imgs) // _align) * _align
     stack = np.zeros((len(imgs), max_h, max_w, nch), dtype=imgs[0].dtype)
@@ -362,7 +364,12 @@ def warp(
     src = _as_read(source)
     nch = channels
     if nch is None:
-        nch = int(source.shape[-1]) if not isinstance(source, ReadOp) else 3
+        if isinstance(source, ReadOp):
+            nch = int(jax.eval_shape(source.lower).shape[-1])
+        elif source.ndim == 2:
+            nch = 1
+        else:
+            nch = int(source.shape[-1])
     from .ops.warp import decompose_inverse_map
 
     terms = decompose_inverse_map(inv, dsize)
@@ -408,6 +415,9 @@ def batch_read(
 ) -> ReadOp:
     """``fk::BatchRead<N, CONDITIONAL_WITH_DEFAULT>`` over arbitrary per-plane
     read ops."""
+    if used_planes is not None and default is None:
+        raise ValueError("batch_read with used_planes needs a default value "
+                         "for the masked planes (CONDITIONAL_WITH_DEFAULT)")
     return BatchRead(
         ops=tuple(ops),
         used_planes=None if used_planes is None else _np_or_traced(used_planes, np.int32),

@@ -224,6 +224,10 @@ def launch_divergent_batch(
     needs (the TPU analog of the per-plane template dispatch). All sequences
     must produce batches of the same plane count and element shape; the write
     layout of the first sequence is applied to the merged batch.
+
+    A precomputed per-plane id sequence may be passed instead of a callable.
+    ``backend`` is reserved: per-plane sequences currently always lower
+    through the XLA path (a fused divergent Pallas kernel is future work).
     """
     if not sequences:
         raise ValueError("need at least one operation sequence")

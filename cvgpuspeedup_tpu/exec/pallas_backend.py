@@ -53,7 +53,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..graph import ComputeOp, FusedCompute
 from ..ops.arithmetic import StaticLoop, _BinaryWithScalar
 from ..ops.cast import Cast, SaturateCast
-from ..ops.color import _CODE_INFO, _B2Y, _G2Y, _GRAY_SHIFT, _R2Y, ColorConversion, VectorReorder
+from ..ops.color import (_CODE_INFO, _B2Y, _G2Y, _GRAY_SHIFT, _R2Y,
+                         _alpha_fill, ColorConversion, VectorReorder)
 from ..ops.memory import SplitWrite, TensorSplit, TensorTSplit, TensorWrite, Write2D
 from ..ops.resize import BatchResizeRead, axis_lerp, letterbox_geometry
 from ..types import AspectRatio, InterpolationType
@@ -116,10 +117,6 @@ def _window_geometry(read) -> Optional[dict]:
 # ---------------------------------------------------------------------------
 
 
-def _alpha_fill(dtype):
-    return 1.0 if dt.is_float(dtype) else dt.max_value(dtype)
-
-
 def _apply_chain_planar(chain: Sequence[ComputeOp], planes: List[jnp.ndarray]):
     """Apply the compute chain to a list of per-channel 2D arrays.
 
@@ -146,6 +143,9 @@ class _ScalarVec:
         self.vals = tuple(vals)
 
     def __getitem__(self, i):
+        # a length-1 parameter broadcasts over channels, like the jnp path
+        if len(self.vals) == 1:
+            return self.vals[0]
         return self.vals[i]
 
 
@@ -233,6 +233,21 @@ def supports(pipeline) -> bool:
         return False
     nch = int(src.shape[-1])
     if _window_geometry(read) is None:
+        return False
+    # total on-chip footprint: window ring + core copies (in _window_geometry)
+    # + per-plane output block + matmul result + interpolation matrices
+    geo = _window_geometry(read)
+    out_ch_est, _ = _chain_out_struct(pipeline.compute, nch)
+    h_o, w_o = read.dsize.height, read.dsize.width
+    body_bytes = (
+        out_ch_est * h_o * w_o * 4 * 2      # output block (double buffered)
+        + h_o * nch * w_o * 4               # vals
+        + geo["core_w"] * nch * nch * w_o * 4  # wh
+        + h_o * geo["core_h"] * 4           # wv
+    )
+    window_bytes = 2 * geo["win_h"] * geo["win_w"] * nch * src.dtype.itemsize
+    core_bytes = 2 * geo["core_h"] * geo["core_w"] * nch * 4
+    if window_bytes + core_bytes + body_bytes > 12 * 1024 * 1024:
         return False
     # chain runtime params ride the packed f32 scalar-prefetch array:
     # small 0/1-d float32 values only
@@ -642,14 +657,10 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
         transcendentals=0,
     )
 
-    result = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
         cost_estimate=cost,
     )(iparams, fparams, src2d, *extra_inputs)
-
-    if isinstance(write, Write2D) and not isinstance(write, TensorWrite):
-        return result  # packed batch output (N, H, W, C)
-    return result

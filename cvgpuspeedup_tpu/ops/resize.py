@@ -316,10 +316,12 @@ class BatchResizeRead(ReadOp):
 
         rects = jnp.asarray(self.rects, jnp.int32)
         if self.frame is not None:
-            frame = self.frame.astype(jnp.float32)
+            # jnp coercion matters when lowering OUTSIDE jit (eval_shape /
+            # direct Pipeline.lower): vmap tracers cannot index numpy leaves
+            frame = jnp.asarray(self.frame).astype(jnp.float32)
             out = jax.vmap(lambda r: one_plane(r, frame))(rects)
         else:
-            stack = self.stack.astype(jnp.float32)
+            stack = jnp.asarray(self.stack).astype(jnp.float32)
             out = jax.vmap(one_plane)(rects, stack)
 
         if self.used_planes is not None:

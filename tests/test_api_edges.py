@@ -121,3 +121,66 @@ def test_circular_tensor_snapshot():
     snap = ct.snapshot()
     ct.update(input=np.full((4, 4, 3), 2, np.uint8))
     assert float(np.asarray(snap)[0, 0, 0, 0]) == 1.0
+
+
+def test_resize_batch_2d_grayscale_frame(rng):
+    """Regression: 2D frame gains its channel axis in frame mode."""
+    frame = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+    out = np.asarray(cvgs.execute_operations(
+        cvgs.resize_batch(frame, rects=np.array([[0, 0, 32, 32], [8, 8, 16, 16]],
+                                                np.int32),
+                          dsize=cvgs.Size(16, 16)),
+        backend=cvgs.ParBackend.XLA,
+    ))
+    assert out.shape == (2, 16, 16, 1)
+    ref = cv2.resize(frame[:32, :32].astype(np.float32), (16, 16))
+    check_float(out[0, ..., 0], ref, msg="gray frame plane 0")
+
+
+def test_warp_2d_grayscale(rng):
+    img = rng.integers(0, 256, (12, 20)).astype(np.uint8)
+    m = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    out = np.asarray(cvgs.execute_operations(cvgs.warp(img, m, cvgs.Size(10, 8))))
+    assert out.shape == (8, 10, 1)
+    check_float(out[..., 0], img[:8, :10].astype(np.float32))
+
+
+def test_warp_channels_from_readop(rng):
+    img = rng.integers(0, 256, (16, 16, 4)).astype(np.uint8)
+    m = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    out = np.asarray(cvgs.execute_operations(
+        cvgs.warp(cvgs.image(img), m, cvgs.Size(8, 8))
+    ))
+    assert out.shape == (8, 8, 4)
+
+
+def test_batch_read_used_planes_requires_default(rng):
+    ops = [cvgs.image(rng.random((4, 4, 3), dtype=np.float32)) for _ in range(2)]
+    with pytest.raises(ValueError):
+        cvgs.batch_read(ops, used_planes=1)
+
+
+def test_pipeline_lower_outside_jit(rng):
+    """Regression: direct Pipeline.lower with numpy leaves (eval_shape /
+    eager use, as the driver may do with __graft_entry__.entry)."""
+    frame = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+    pipe = cvgs.build_pipeline(
+        cvgs.resize_batch(frame, rects=np.array([[0, 0, 32, 32]], np.int32),
+                          dsize=cvgs.Size(8, 8)),
+    )
+    out = np.asarray(pipe.lower())
+    assert out.shape == (1, 8, 8, 3)
+
+
+def test_pallas_scalar_vec_broadcast(rng):
+    """Length-1 per-channel scalar broadcasts in the Pallas path too."""
+    frame = rng.integers(0, 256, (296, 384, 3)).astype(np.uint8)
+    rects = np.array([[0, 0, 60, 120]], np.int32)
+    ops = lambda: [
+        cvgs.resize_batch(frame, rects=rects, dsize=cvgs.Size(64, 128)),
+        cvgs.multiply((2.0,)),
+        cvgs.split_tensor(),
+    ]
+    x = np.asarray(cvgs.execute_operations(*ops(), backend=cvgs.ParBackend.XLA))
+    p = np.asarray(cvgs.execute_operations(*ops(), backend=cvgs.ParBackend.PALLAS_INTERPRET))
+    check_float(p, x, msg="len-1 scalar broadcast")
