@@ -388,23 +388,38 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
     # derived in-kernel from the raw rect scalars (no XLA pre-pass). This is
     # the analog of the reference's per-plane kernel-parameter array (F7),
     # minus CUDA's 4KB limit. ----
-    rects_flat = jnp.asarray(read.rects, jnp.int32).reshape(-1)  # (N*4,)
+    # rects stay a separate 2D prefetch arg and the float params concatenate
+    # in NUMPY whenever the leaves are concrete: any per-call jnp packing op
+    # here would sit BETWEEN the opaque pallas call and its inputs, unable to
+    # fuse, costing a full tiny-kernel launch per invocation
+    rects2d = read.rects
+    if not isinstance(rects2d, jnp.ndarray) or rects2d.dtype != jnp.int32:
+        rects2d = (np.asarray(rects2d, np.int32)
+                   if not isinstance(rects2d, jax.core.Tracer)
+                   else jnp.asarray(rects2d, jnp.int32))
     used = (
-        jnp.full((1,), n_planes, jnp.int32)
+        np.full((1,), n_planes, np.int32)
         if read.used_planes is None
         else jnp.reshape(jnp.asarray(read.used_planes, jnp.int32), (1,))
     )
-    iparams = jnp.concatenate([rects_flat, used])  # (N*4 + 1,)
 
-    bg = jnp.asarray(read.background, jnp.float32).reshape(nch)
     chain_leaves, chain_def = jax.tree_util.tree_flatten(tuple(chain))
     leaf_shapes = [jnp.shape(l) for l in chain_leaves]
     leaf_sizes = [1 if shp == () else int(shp[0]) for shp in leaf_shapes]
     leaf_offsets = list(np.cumsum([nch] + leaf_sizes))[:-1]  # after bg
-    fparts = [bg] + [
-        jnp.asarray(l, jnp.float32).reshape(-1) for l in chain_leaves
-    ]
-    fparams = jnp.concatenate(fparts) if fparts else bg
+    all_concrete = not any(
+        isinstance(l, jax.core.Tracer) for l in [read.background, *chain_leaves]
+    )
+    if all_concrete:
+        fparams = np.concatenate(
+            [np.asarray(read.background, np.float32).reshape(nch)]
+            + [np.asarray(l, np.float32).reshape(-1) for l in chain_leaves]
+        )
+    else:
+        fparams = jnp.concatenate(
+            [jnp.asarray(read.background, jnp.float32).reshape(nch)]
+            + [jnp.asarray(l, jnp.float32).reshape(-1) for l in chain_leaves]
+        )
 
     # source as 2D rows of interleaved pixels (layout no-op)
     if frame_mode:
@@ -478,7 +493,7 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
 
     lanes = win_w * nch
 
-    def kernel(ip_ref, fp_ref, src_ref, *rest):
+    def kernel(rects_ref, used_ref, fp_ref, src_ref, *rest):
         if weight_consts is not None:
             wv_ref, wh_ref = rest[0], rest[1]
             rest = rest[2:]
@@ -490,9 +505,9 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
             window, sem = rest[1:]
 
         def rect_of(i, k):
-            return ip_ref[i * 4 + k]
+            return rects_ref[i, k]
 
-        used_count = ip_ref[n_planes * 4]
+        used_count = used_ref[0]
 
         def bg_of(c):
             return fp_ref[c]
@@ -636,7 +651,7 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
         extra_inputs = [wv_c, wh_c]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_planes,),
         in_specs=in_specs,
         out_specs=out_spec,
@@ -663,4 +678,4 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
         out_shape=out_shape,
         interpret=interpret,
         cost_estimate=cost,
-    )(iparams, fparams, src2d, *extra_inputs)
+    )(rects2d, used, fparams, src2d, *extra_inputs)
