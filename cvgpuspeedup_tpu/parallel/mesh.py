@@ -45,7 +45,8 @@ from ..ops.memory import ImageRead, SplitWrite, TensorTSplit
 from ..ops.resize import BatchResizeRead
 from ..types import ParBackend
 
-__all__ = ["make_mesh", "execute_sharded", "scaling_efficiency"]
+__all__ = ["initialize_distributed", "make_mesh", "execute_sharded",
+           "scaling_efficiency"]
 
 # compile cache: (treedef, mesh, backend) -> jitted shard_map program, so
 # parameter-only changes reuse the compiled program like execute_operations
@@ -53,6 +54,27 @@ _SHARD_CACHE: dict = {}
 
 #: pipeline-leaf field names that carry the plane (batch) axis as dim 0
 _PLANE_AXIS_FIELDS = ("rects", "stack", "data")
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> Mesh:
+    """Multi-host bring-up: ``jax.distributed.initialize`` + a global batch
+    mesh over every chip in the pod slice.
+
+    On TPU pods the arguments are auto-detected from the environment; pass
+    them explicitly elsewhere. Each host then calls :func:`execute_sharded`
+    with its host-local inputs — the host-local-feeding model the north star
+    prescribes (SURVEY.md §5.8).
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return make_mesh()
 
 
 def make_mesh(n: Optional[int] = None, axis: str = "batch", devices=None) -> Mesh:
