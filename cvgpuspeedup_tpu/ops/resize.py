@@ -194,14 +194,21 @@ def _resize_axis_static(x: jnp.ndarray, axis: int, src_len: int, dst_len: int):
         a = slice_axis(int(i0s[phi]) + pad_l, p_stride)
         w = float(ws[phi])
         if w == 0.0:
+            # pure subsample: keep the source dtype (converting after the
+            # slice is up to P x cheaper than converting the full source)
             phases.append(a)
         else:
             b = slice_axis(int(i0s[phi]) + pad_l + 1, p_stride)
             wf = jnp.float32(w)
-            phases.append(a * (1.0 - wf) + b * wf)
+            phases.append(
+                a.astype(jnp.float32) * (1.0 - wf) + b.astype(jnp.float32) * wf
+            )
     if q_phases == 1:
         return phases[0]
     # interleave phases: stack -> (..., K, Q, ...) -> reshape to dst_len
+    # (mixed-phase outputs promote to f32 first)
+    if any(p.dtype != phases[0].dtype for p in phases):
+        phases = [p.astype(jnp.float32) for p in phases]
     stacked = jnp.stack(phases, axis=axis + 1)  # (.., K, Q, ..)
     new_shape = list(x.shape)
     new_shape[axis] = dst_len
@@ -223,7 +230,7 @@ class ResizeRead(ReadOp):
     interp: InterpolationType = static_field(default=InterpolationType.INTER_LINEAR)
 
     def lower(self) -> jnp.ndarray:
-        src = self.source.lower().astype(jnp.float32)
+        src = self.source.lower()
         if src.ndim != 3:
             raise ValueError("ResizeRead expects a single (H, W, C) source")
         src_h, src_w = int(src.shape[0]), int(src.shape[1])
@@ -234,10 +241,11 @@ class ResizeRead(ReadOp):
         qy = dst_h // math.gcd(src_h, dst_h)
         if qx <= _MAX_PHASES and qy <= _MAX_PHASES:
             x = _resize_axis_static(src, 1, src_w, dst_w)
-            return _resize_axis_static(x, 0, src_h, dst_h)
+            x = _resize_axis_static(x, 0, src_h, dst_h)
+            return x.astype(jnp.float32)  # pure-subsample paths stay integer
         i0x, i1x, wx = axis_lerp(jnp.arange(dst_w), src_w, dst_w)
         i0y, i1y, wy = axis_lerp(jnp.arange(dst_h), src_h, dst_h)
-        return _bilinear_sample(src, i0x, i1x, wx, i0y, i1y, wy)
+        return _bilinear_sample(src.astype(jnp.float32), i0x, i1x, wx, i0y, i1y, wy)
 
     def describe(self) -> str:
         return f"Resize[{self.dsize.width}x{self.dsize.height}]({self.source.describe()})"
