@@ -408,6 +408,33 @@ def make_border(
     )
 
 
+def warp_batch(
+    sources: Sequence[_SourceLike],
+    matrices: Sequence[ArrayLike],
+    dsize: Size,
+    warp_type: WarpType = WarpType.AFFINE,
+    used_planes: Optional[ArrayLike] = None,
+    default=0.0,
+    border_value=0.0,
+) -> ReadOp:
+    """Batched warp with per-image matrices — the ``cvGS::warp<WT, I, BATCH>``
+    overload family incl. the ragged form with ``usedPlanes`` + default value
+    (reference ``include/cvGPUSpeedup.cuh:381-442``,
+    ``tests/warping/test_warping_opencv.cu:242-247``). ``border_value`` fills
+    out-of-source samples; ``default`` fills planes beyond ``used_planes``."""
+    if len(sources) != len(matrices):
+        raise ValueError("need one matrix per source image")
+    warps = [
+        warp(s, m, dsize, warp_type=warp_type, default=border_value)
+        for s, m in zip(sources, matrices)
+    ]
+    return batch_read(
+        warps,
+        used_planes=used_planes,
+        default=default if used_planes is not None else None,
+    )
+
+
 def batch_read(
     ops: Sequence[ReadOp],
     used_planes: Optional[ArrayLike] = None,
@@ -475,7 +502,7 @@ __all__ = [
     "convert_to", "multiply", "add", "subtract", "divide", "cvt_color",
     "vector_reorder", "static_loop", "convert_yuv_to_rgb", "image",
     "read_yuv", "crop", "crop_batch", "resize", "resize_batch", "warp",
-    "batch_read", "circular_batch_read", "set_to", "make_border", "BorderMode",
+    "batch_read", "circular_batch_read", "set_to", "make_border", "BorderMode", "warp_batch",
     "write", "write_tensor", "split", "split_tensor", "split_tensor_transposed",
     # data
     "CircularTensor",

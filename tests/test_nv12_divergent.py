@@ -135,3 +135,20 @@ def test_divergent_batch_different_reads(rng):
     for z in range(4):
         expect = a[(2 + z) % 4] if z < 2 else b[z]
         check_float(out[z], expect, msg=f"z={z}")
+
+
+def test_nv12_multi_camera_batch(rng):
+    """Multiple same-size NV12 cameras as one batched fused read (the
+    reference's CAMERAS loop, test_fused_resize.cu:47-58, as ONE launch)."""
+    bufs = [rng.integers(0, 256, (H * 3 // 2, W)).astype(np.uint8) for _ in range(4)]
+    cams = [
+        cvgs.fuse(cvgs.read_yuv(b),
+                  cvgs.convert_yuv_to_rgb(out_dtype=np.float32))
+        for b in bufs
+    ]
+    out = np.asarray(cvgs.execute_operations(
+        cvgs.batch_read(cams), cvgs.multiply(0.5), cvgs.split_tensor()
+    ))
+    assert out.shape == (4, 3, H, W)
+    ref0 = _np_nv12_to_rgb(bufs[0], 0.299, 0.114) * 0.5
+    check_float(out[0], ref0.transpose(2, 0, 1), msg="camera 0")

@@ -164,3 +164,19 @@ def test_debug_mode_forces_interpret(rng):
     with debug_mode():
         out = np.asarray(cvgs.execute_operations(*ops(), backend=cvgs.ParBackend.PALLAS))
     check_float(out, ref, msg="debug-mode interpret parity")
+
+
+def test_chain_with_alpha_add_parity(rng):
+    """BGR2BGRA (alpha append) inside the Pallas chain."""
+    frame = _frame(rng)
+    ops = lambda: [
+        cvgs.resize_batch(frame, rects=_rects(3), dsize=cvgs.Size(*UP)),
+        cvgs.convert_to(np.uint8),
+        cvgs.cvt_color(cvgs.ColorConversionCode.COLOR_BGR2BGRA),
+        cvgs.split_tensor(),
+    ]
+    x = np.asarray(cvgs.execute_operations(*ops(), backend=cvgs.ParBackend.XLA))
+    p = np.asarray(cvgs.execute_operations(*ops(), backend=cvgs.ParBackend.PALLAS_INTERPRET))
+    assert p.shape == (3, 4, UP[1], UP[0])
+    assert np.all(np.asarray(p)[:, 3] == 255)
+    check_exact(p, x, "alpha-append chain parity")

@@ -132,3 +132,17 @@ def test_warp_batch_ragged(rng):
         check_float(out[i], _np_warp_affine(imgs[i], mats[i], (40, 40)), tol=1e-4,
                     msg=f"batch warp plane {i} float ref")
     assert np.all(out[3] == 7.0)
+
+
+def test_warp_batch_factory(rng):
+    """One-call batched warp (cvGS::warp<WT,I,BATCH> overload family)."""
+    imgs = rng.integers(0, 256, (3, 40, 40, 3)).astype(np.uint8)
+    mats = [_affine_matrix(angle=5 * i, center=(20, 20), shift=(0, 0)) for i in range(3)]
+    out = np.asarray(cvgs.execute_operations(
+        cvgs.warp_batch(list(imgs), mats, cvgs.Size(40, 40),
+                        used_planes=2, default=3.0)
+    ))
+    assert out.shape == (3, 40, 40, 3)
+    check_float(out[1], _np_warp_affine(imgs[1], mats[1], (40, 40)), tol=1e-4,
+                msg="warp_batch plane 1")
+    assert np.all(out[2] == 3.0)
