@@ -229,8 +229,33 @@ class ResizeRead(ReadOp):
     dsize: Size = static_field()
     interp: InterpolationType = static_field(default=InterpolationType.INTER_LINEAR)
 
+    def _commuted_source(self):
+        """Linearity rewrite: a float YUV->RGB conversion is an affine
+        pointwise map, which commutes EXACTLY with bilinear resize (the
+        interpolation weights sum to 1, so offsets pass through). Pulling the
+        conversion AFTER the resize converts only dst-resolution pixels — on
+        the 6K "ComputeWhatYouSee" downscale that is 1/9th of the work.
+        Returns (yuv_source_value, conversion_op) or None."""
+        from ..graph import FusedRead
+        from .nv12 import ConvertYUVToRGB, ReadYUV
+
+        src = self.source
+        if not isinstance(src, FusedRead) or len(src.chain) != 1:
+            return None
+        conv = src.chain[0]
+        if not isinstance(conv, ConvertYUVToRGB) or not isinstance(src.read, ReadYUV):
+            return None
+        if not jnp.issubdtype(jnp.dtype(conv.out_dtype), jnp.floating):
+            return None  # integer out saturates — not affine
+        return src.read.lower(), conv
+
     def lower(self) -> jnp.ndarray:
-        src = self.source.lower()
+        commuted = self._commuted_source()
+        if commuted is not None:
+            yuv, conv = commuted
+            src = yuv
+        else:
+            src = self.source.lower()
         if src.ndim != 3:
             raise ValueError("ResizeRead expects a single (H, W, C) source")
         src_h, src_w = int(src.shape[0]), int(src.shape[1])
@@ -242,10 +267,14 @@ class ResizeRead(ReadOp):
         if qx <= _MAX_PHASES and qy <= _MAX_PHASES:
             x = _resize_axis_static(src, 1, src_w, dst_w)
             x = _resize_axis_static(x, 0, src_h, dst_h)
-            return x.astype(jnp.float32)  # pure-subsample paths stay integer
-        i0x, i1x, wx = axis_lerp(jnp.arange(dst_w), src_w, dst_w)
-        i0y, i1y, wy = axis_lerp(jnp.arange(dst_h), src_h, dst_h)
-        return _bilinear_sample(src.astype(jnp.float32), i0x, i1x, wx, i0y, i1y, wy)
+            x = x.astype(jnp.float32)  # pure-subsample paths stay integer
+        else:
+            i0x, i1x, wx = axis_lerp(jnp.arange(dst_w), src_w, dst_w)
+            i0y, i1y, wy = axis_lerp(jnp.arange(dst_h), src_h, dst_h)
+            x = _bilinear_sample(src.astype(jnp.float32), i0x, i1x, wx, i0y, i1y, wy)
+        if commuted is not None:
+            x = conv.apply(x)  # affine conversion on dst-resolution pixels
+        return x
 
     def describe(self) -> str:
         return f"Resize[{self.dsize.width}x{self.dsize.height}]({self.source.describe()})"
