@@ -87,17 +87,24 @@ def make_scan_runner(pipeline, lower_fn, iters):
     return lambda: run_n(leaves)
 
 
-def differential_time(pipeline, lower_fn):
-    times = {}
-    for n in (N_SMALL, N_LARGE):
-        run = make_scan_runner(pipeline, lower_fn, n)
-        sync(run())  # compile + warmup
+def differential_time(pipeline, lower_fn, reps=3):
+    """Median of `reps` differential measurements (sync jitter is a few ms)."""
+    run_s = make_scan_runner(pipeline, lower_fn, N_SMALL)
+    run_l = make_scan_runner(pipeline, lower_fn, N_LARGE)
+    sync(run_s())  # compile + warmup
+    sync(run_l())
+    diffs = []
+    for _ in range(reps):
         t0 = time.perf_counter()
-        sync(run())
-        times[n] = time.perf_counter() - t0
-    t_iter = max(times[N_LARGE] - times[N_SMALL], 1e-9) / (N_LARGE - N_SMALL)
-    log(f"  T({N_SMALL})={times[N_SMALL]*1e3:.1f}ms T({N_LARGE})={times[N_LARGE]*1e3:.1f}ms")
-    return t_iter
+        sync(run_s())
+        ts = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sync(run_l())
+        tl = time.perf_counter() - t0
+        diffs.append(max(tl - ts, 1e-9) / (N_LARGE - N_SMALL))
+    diffs.sort()
+    log(f"  diffs us: {[f'{d*1e6:.0f}' for d in diffs]}")
+    return diffs[len(diffs) // 2]
 
 
 def unfused_baseline(frame_dev, rects_np, reps=3):
