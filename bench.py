@@ -7,14 +7,16 @@ offset (i, i)) -> bilinear resize to 64x128 -> convertTo(float, 0.3) ->
 subtract -> divide -> planar TensorSplit, as ONE fused Pallas kernel.
 
 Timing protocol (reference harness analog, ``tests/testsCommon.cuh:122-195``
-— warmup + ~100 timed iterations) adapted to this environment's reality:
+— warmup + repeated timed iterations) adapted to this environment's reality:
 through the axon tunnel ``block_until_ready`` returns before execution
 finishes and only a device->host transfer observes completion (first
 transfer warms the path in O(1 min), later syncs are ~0.1 s). Device time
-per iteration is therefore measured DIFFERENTIALLY: one jitted ``lax.scan``
-of N iterations (rect-jittered so nothing hoists), synced by a single scalar
-``device_get``; t_iter = (T(N2) - T(N1)) / (N2 - N1) cancels the constant
-dispatch+transfer latency.
+per batch is therefore measured DIFFERENTIALLY: one jitted program containing
+N UNROLLED kernel invocations (each with distinct rect shifts so XLA cannot
+CSE them), synced by a single scalar ``device_get``;
+t_batch = (T(N2) - T(N1)) / (N2 - N1) cancels the constant dispatch+transfer
+latency. Unrolling matters: wrapping the kernel in ``lax.scan`` adds ~110 us
+of device-loop bookkeeping per iteration, 2-3x the kernel itself.
 
 Baseline: the same math issued as one device program per op per crop — the
 250-launch pattern cvGPUSpeedup replaces (``README.md:90-98``).
@@ -38,7 +40,7 @@ BATCH = 50
 SRC_H, SRC_W = 2160, 3840
 UP = cvgs.Size(64, 128)
 ALPHA, SUB, DIV = 0.3, (3.2, 0.6, 11.8), (128.0, 128.0, 128.0)
-N_SMALL, N_LARGE = 10, 510
+N_SMALL, N_LARGE = 5, 55
 
 
 def log(*a):
@@ -58,7 +60,7 @@ def build_pipeline(frame, rects):
     )
 
 
-def make_scan_runner(pipeline, lower_fn, iters):
+def make_runner(pipeline, lower_fn, iters):
     leaves, treedef = jax.tree_util.tree_flatten(pipeline)
     leaves = [jax.device_put(l) for l in leaves]
     rect_idx = next(
@@ -68,20 +70,18 @@ def make_scan_runner(pipeline, lower_fn, iters):
 
     @jax.jit
     def run_n(ls):
-        def body(carry, i):
+        total = jnp.float32(0.0)
+        for i in range(iters):
             lv = list(ls)
-            # jitter rect origins so XLA cannot hoist the kernel out of the loop
-            lv[rect_idx] = lv[rect_idx].at[:, :2].add(i % 2)
+            # distinct rect shifts per invocation: prevents CSE/hoisting
+            lv[rect_idx] = lv[rect_idx] + (i % 97)
             p = jax.tree_util.tree_unflatten(treedef, lv)
             out = lower_fn(p)
             if isinstance(out, (tuple, list)):
                 out = out[0]
             # single-element probe (NOT ravel: relinearizing the tiled output
-            # costs ~11us/iter and would pollute the kernel time)
-            probe = out[(0,) * out.ndim].astype(jnp.float32)
-            return carry + probe, None
-
-        total, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(iters))
+            # would pollute the kernel time)
+            total = total + out[(0,) * out.ndim].astype(jnp.float32)
         return total
 
     return lambda: run_n(leaves)
@@ -89,8 +89,8 @@ def make_scan_runner(pipeline, lower_fn, iters):
 
 def differential_time(pipeline, lower_fn, reps=3):
     """Median of `reps` differential measurements (sync jitter is a few ms)."""
-    run_s = make_scan_runner(pipeline, lower_fn, N_SMALL)
-    run_l = make_scan_runner(pipeline, lower_fn, N_LARGE)
+    run_s = make_runner(pipeline, lower_fn, N_SMALL)
+    run_l = make_runner(pipeline, lower_fn, N_LARGE)
     sync(run_s())  # compile + warmup
     sync(run_l())
     diffs = []
