@@ -29,21 +29,30 @@ from cvgpuspeedup_tpu.utils.profiling import BenchmarkRecorder, TimingStats
 from cvgpuspeedup_tpu.utils.profiling import transfer_sync as sync  # noqa: E402
 
 
-def diff_time(step_fn, payload, n_small=10, n_large=210):
-    """step_fn(carry, i) -> carry; payload closed over device arrays."""
-    times = {}
+def diff_time(step_fn, payload, n_small=4, n_large=24, reps=3):
+    """Differential timing over UNROLLED step invocations (lax.scan adds
+    ~110us of loop bookkeeping per iteration around non-fusable bodies).
+    step_fn(carry, i, payload) -> carry, with i a PYTHON int (each unrolled
+    step must see a distinct value so XLA cannot CSE)."""
+    runners = {}
     for n in (n_small, n_large):
         @jax.jit
-        def run(p):
-            def body(c, i):
-                return step_fn(c, i, p), None
-            tot, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n))
-            return tot
+        def run(p, _n=n):
+            c = jnp.float32(0.0)
+            for i in range(_n):
+                c = step_fn(c, i, p)
+            return c
+        runners[n] = run
         sync(run(payload))
-        t0 = time.perf_counter()
-        sync(run(payload))
-        times[n] = time.perf_counter() - t0
-    return max(times[n_large] - times[n_small], 1e-9) / (n_large - n_small)
+    diffs = []
+    for _ in range(reps):
+        t0 = time.perf_counter(); sync(runners[n_small](payload))
+        ts = time.perf_counter() - t0
+        t0 = time.perf_counter(); sync(runners[n_large](payload))
+        tl = time.perf_counter() - t0
+        diffs.append(max(tl - ts, 1e-9) / (n_large - n_small))
+    diffs.sort()
+    return diffs[len(diffs) // 2]
 
 
 def bench_single_1080p(rec):
@@ -52,13 +61,13 @@ def bench_single_1080p(rec):
 
     def step(c, i, p):
         pipe = cvgs.build_pipeline(
-            cvgs.resize(cvgs.image(p + (i % 2).astype(jnp.uint8)), cvgs.Size(640, 360)),
+            cvgs.resize(cvgs.image(p + np.uint8(i % 97)), cvgs.Size(640, 360)),
             cvgs.convert_to(np.float32, alpha=1 / 255.0),
             cvgs.subtract((0.485, 0.456, 0.406)),
             cvgs.divide((0.229, 0.224, 0.225)),
             cvgs.split_tensor(),
         )
-        return c + pipe.lower().ravel()[0]
+        return c + pipe.lower()[0, 0, 0]
 
     t = diff_time(step, img)
     rec.add_case("single_1080p_resize_normalize_split",
@@ -74,7 +83,7 @@ def bench_nv12_6k(rec):
 
     def step(c, i, p):
         virtual = cvgs.fuse(
-            cvgs.read_yuv(p + (i % 2).astype(jnp.uint8)),
+            cvgs.read_yuv(p + np.uint8(i % 97)),
             cvgs.convert_yuv_to_rgb(standard=cvgs.ColorStandard.BT709,
                                     out_dtype=np.float32),
         )
@@ -83,9 +92,9 @@ def bench_nv12_6k(rec):
             cvgs.multiply(1 / 255.0),
             cvgs.split_tensor(),
         )
-        return c + pipe.lower().ravel()[0]
+        return c + pipe.lower()[0, 0, 0]
 
-    t = diff_time(step, buf, n_large=60, n_small=10)
+    t = diff_time(step, buf, n_small=3, n_large=13)
     rec.add_case("nv12_6k_to_1080p_rgb_normalize",
                  TimingStats(t, 0, t, t, 50), TimingStats(t, 0, t, t, 50))
     print(f"6K NV12 -> 1080p RGB normalize (fused read): {t*1e6:.1f} us/frame "
@@ -100,25 +109,31 @@ def bench_circular_tensor(rec):
 
     def step(ring, i, p):
         pipe = cvgs.build_pipeline(
-            cvgs.resize(cvgs.image(p + (i % 2).astype(jnp.uint8)), cvgs.Size(64, 128)),
+            cvgs.resize(cvgs.image(p + np.uint8(i % 97)), cvgs.Size(64, 128)),
             cvgs.convert_to(np.float32, alpha=1 / 255.0),
         )
         new = jnp.transpose(pipe.lower(), (2, 0, 1))[None]
         return jnp.concatenate([new, ring[:-1]], axis=0)
 
-    times = {}
-    for n in (10, 210):
+    runners = {}
+    for n in (4, 24):
         @jax.jit
-        def run(p):
-            def body(ring, i):
-                return step(ring, i, p), None
-            out, _ = jax.lax.scan(body, ring0, jnp.arange(n))
-            return out
+        def run(p, _n=n):
+            ring = ring0
+            for i in range(_n):
+                ring = step(ring, i, p)
+            return ring
+        runners[n] = run
         sync(run(frame))
-        t0 = time.perf_counter()
-        sync(run(frame))
-        times[n] = time.perf_counter() - t0
-    t = max(times[210] - times[10], 1e-9) / 200
+    diffs = []
+    for _ in range(3):
+        t0 = time.perf_counter(); sync(runners[4](frame))
+        ts = time.perf_counter() - t0
+        t0 = time.perf_counter(); sync(runners[24](frame))
+        tl = time.perf_counter() - t0
+        diffs.append(max(tl - ts, 1e-9) / 20)
+    diffs.sort()
+    t = diffs[1]
     rec.add_case("circular_tensor_32_update",
                  TimingStats(t, 0, t, t, 200), TimingStats(t, 0, t, t, 200))
     print(f"CircularTensor-32 update (resize+normalize+shift): {t*1e6:.1f} us "
