@@ -305,18 +305,11 @@ def _letterbox_static(crop_w: int, crop_h: int, dsize, mode):
 
 def _axis_lerp_static(q, src_len: int, dst_len: int):
     """Numpy replica of ops.resize.axis_lerp (exact integer rational math,
-    f32 weight division) for concrete geometry."""
-    q = np.asarray(q, np.int64)
-    num = (2 * q + 1) * src_len - dst_len
-    den = 2 * dst_len
-    i0 = num // den
-    w = ((num - i0 * den).astype(np.float32) / np.float32(den)).astype(np.float32)
-    w = np.where(i0 < 0, np.float32(0.0), w)
-    i0 = np.maximum(i0, 0)
-    w = np.where(i0 >= src_len - 1, np.float32(0.0), w)
-    i0 = np.minimum(i0, src_len - 1)
-    i1 = np.minimum(i0 + 1, src_len - 1)
-    return i0, i1, w.astype(np.float32)
+    f32 weight division) for concrete geometry — single source of truth in
+    ops.resize.axis_lerp_np."""
+    from ..ops.resize import axis_lerp_np
+
+    return axis_lerp_np(q, src_len, dst_len)
 
 
 def _build_weights(z, rect_of, h_out, w_out, nch, core_h, core_w, dsize, mode):

@@ -47,7 +47,11 @@ class ReadYUV(ReadOp):
     buffer: jnp.ndarray  # (H*3/2, W) uint8
     pixel_format: PixelFormat = static_field(default=PixelFormat.NV12)
 
-    def lower(self) -> jnp.ndarray:
+    def lower_native_planes(self):
+        """The Y plane (H, W) and chroma pairs (H/2, W/2, 2) at NATIVE
+        resolution (NV21 swap already applied). Used by the plane-space
+        resize rewrite (``ResizeRead``): resizing in chroma space avoids
+        ever materializing the 2x-upsampled full-resolution chroma."""
         buf = self.buffer
         if buf.ndim == 3 and buf.shape[-1] == 1:
             buf = buf[..., 0]
@@ -59,6 +63,10 @@ class ReadYUV(ReadOp):
         uv = buf[height:].reshape(height // 2, width // 2, 2)
         if self.pixel_format == PixelFormat.NV21:
             uv = uv[..., ::-1]
+        return y, uv
+
+    def lower(self) -> jnp.ndarray:
+        y, uv = self.lower_native_planes()
         # nearest-neighbor 2x chroma upsample (each pair covers a 2x2 block)
         uv_full = jnp.repeat(jnp.repeat(uv, 2, axis=0), 2, axis=1)
         return jnp.stack([y, uv_full[..., 0], uv_full[..., 1]], axis=-1)

@@ -131,8 +131,48 @@ def _bilinear_sample(img_f32, i0x, i1x, wx, i0y, i1y, wy):
     return h0 * (1.0 - wy_c) + h1 * wy_c
 
 
+def axis_lerp_np(q, src_len: int, dst_len: int):
+    """Numpy mirror of :func:`axis_lerp` for concrete geometry (identical
+    exact-integer-rational math and f32 weight division; identical edge
+    clamping). Single host-side source of truth for baked weight tables —
+    used by the matmul lowering here and the Pallas backend's plane-invariant
+    constants."""
+    q = np.asarray(q, np.int64)
+    num = (2 * q + 1) * src_len - dst_len
+    den = 2 * dst_len
+    i0 = num // den
+    w = ((num - i0 * den).astype(np.float32) / np.float32(den)).astype(np.float32)
+    w = np.where(i0 < 0, np.float32(0.0), w)
+    i0 = np.maximum(i0, 0)
+    w = np.where(i0 >= src_len - 1, np.float32(0.0), w)
+    i0 = np.minimum(i0, src_len - 1)
+    i1 = np.minimum(i0 + 1, src_len - 1)
+    return i0, i1, w.astype(np.float32)
+
+
+def _axis_weight_matrices(src_len: int, dst_len: int):
+    """Dense (src_len, dst_len) f32 interpolation matrices with exactly the
+    :func:`axis_lerp` taps/weights, SPLIT per tap: ``m0`` holds (1-w) at i0,
+    ``m1`` holds w at i1. Splitting keeps the lerp bit-exact under matmul:
+    each column has ONE nonzero, so each dot output is a single correctly-
+    rounded f32 product (zero addends are exact), and ``x@m0 + x@m1``
+    reproduces ``a*(1-w) + b*w`` with the same separate roundings — a
+    combined matrix would let the accumulator fuse the two products and
+    drift ~1 ulp, flipping .5 ties in integer casts."""
+    q = np.arange(dst_len, dtype=np.int64)
+    i0, i1, w = axis_lerp_np(q, src_len, dst_len)
+    m0 = np.zeros((src_len, dst_len), np.float32)
+    m1 = np.zeros((src_len, dst_len), np.float32)
+    m0[i0, q] = np.float32(1.0) - w
+    m1[i1, q] = w
+    return m0, m1
+
+
 #: phase-count cap for the polyphase path; above this, fall back to gathers
 _MAX_PHASES = 32
+
+#: weight-table budget for the dense-matmul resize fallback (bytes per axis)
+_MATMUL_WEIGHT_BYTES = 8 * 1024 * 1024
 
 
 def _axis_phases(src_len: int, dst_len: int):
@@ -215,6 +255,112 @@ def _resize_axis_static(x: jnp.ndarray, axis: int, src_len: int, dst_len: int):
     return stacked.reshape(new_shape)
 
 
+def _axis_phases_half(src_len_full: int, dst_len: int):
+    """Polyphase plan for resizing a HALF-resolution plane with FULL-resolution
+    tap math (the NV12 chroma case): the logical source is the 2x
+    nearest-upsampled plane, so the exact lerp is
+
+        out[q] = uv[i0(q) // 2] * (1 - w(q)) + uv[i1(q) // 2] * w(q)
+
+    with ``i0/i1/w`` from the full-res rational coordinates. ``i0(q+Q) =
+    i0(q) + P`` makes the halved taps periodic in Q phases when P is even and
+    2Q phases when P is odd. Returns ``(stride, q2, j0, j1, w, counts_equal)``
+    or None when the doubled phase count does not divide ``dst_len`` or
+    exceeds the phase cap."""
+    import math
+
+    g = math.gcd(src_len_full, dst_len)
+    p_stride, q_phases = src_len_full // g, dst_len // g
+    if p_stride % 2 == 0:
+        q2, pp = q_phases, p_stride
+    else:
+        q2, pp = 2 * q_phases, 2 * p_stride
+    if dst_len % q2 or q2 > _MAX_PHASES:
+        return None
+    phis = np.arange(q2, dtype=np.int64)
+    num = (2 * phis + 1) * src_len_full - dst_len
+    den = 2 * dst_len
+    i0 = num // den  # UNCLAMPED full-res left tap (edge pad supplies clamps)
+    w = ((num - i0 * den) / den).astype(np.float32)
+    j0 = i0 // 2  # floor division: correct for negative taps too
+    j1 = (i0 + 1) // 2
+    return pp // 2, q2, j0, j1, w
+
+
+def _resize_axis_half(x: jnp.ndarray, axis: int, src_len_full: int, dst_len: int):
+    """Resize one axis of a half-resolution plane using full-resolution
+    INTER_LINEAR coordinates (chroma of NV12, see :func:`_axis_phases_half`).
+    Bit-identical to ``_resize_axis_static`` applied to the 2x-upsampled
+    plane, without ever materializing it. Caller checks feasibility."""
+    plan = _axis_phases_half(src_len_full, dst_len)
+    assert plan is not None, "caller must check _axis_phases_half feasibility"
+    stride, q2, j0s, j1s, ws = plan
+    half_len = x.shape[axis]
+    k = dst_len // q2
+    reach0 = j0s + (k - 1) * stride
+    reach1 = j1s + (k - 1) * stride
+    pad_l = max(0, -int(j0s.min()))
+    pad_r = max(0, int(max(reach0.max(), reach1.max())) - (half_len - 1))
+    if pad_l or pad_r:
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (pad_l, pad_r)
+        xp = jnp.pad(x, pad, mode="edge")
+    else:
+        xp = x
+
+    def slice_axis(start, step):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(start, start + (k - 1) * step + 1, step)
+        return xp[tuple(idx)]
+
+    phases = []
+    for phi in range(q2):
+        a = slice_axis(int(j0s[phi]) + pad_l, stride)
+        w = float(ws[phi])
+        if w == 0.0:
+            phases.append(a)
+        else:
+            b = slice_axis(int(j1s[phi]) + pad_l, stride)
+            wf = jnp.float32(w)
+            phases.append(
+                a.astype(jnp.float32) * (1.0 - wf) + b.astype(jnp.float32) * wf
+            )
+    if q2 == 1:
+        return phases[0]
+    if any(p.dtype != phases[0].dtype for p in phases):
+        phases = [p.astype(jnp.float32) for p in phases]
+    stacked = jnp.stack(phases, axis=axis + 1)
+    new_shape = list(x.shape)
+    new_shape[axis] = dst_len
+    return stacked.reshape(new_shape)
+
+
+def _resize_matmul(src: jnp.ndarray, dst_w: int, dst_h: int) -> jnp.ndarray:
+    """Static-geometry bilinear resize as two dense MXU matmuls.
+
+    For ratios whose polyphase period exceeds ``_MAX_PHASES`` (prime-ish
+    destination dims, e.g. 1080p -> 97x111: 97 horizontal phases), gathers
+    crawl on TPU but the dense interpolation matrices are small — the banded
+    (src_len, dst_len) tables multiply at MXU line rate. Association is
+    horizontal-then-vertical, identical weights/taps to the gather form
+    (see ``_axis_weight_matrices``), at ``Precision.HIGHEST`` for f32 parity.
+    """
+    src_h, src_w = int(src.shape[0]), int(src.shape[1])
+    wh0, wh1 = (jnp.asarray(m) for m in _axis_weight_matrices(src_w, dst_w))
+    wv0, wv1 = (jnp.asarray(m) for m in _axis_weight_matrices(src_h, dst_h))
+    x = src.astype(jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+    # (H, W, C) x (W, dstW) -> (H, dstW, C), horizontal first
+    t = (
+        jnp.einsum("hwc,wx->hxc", x, wh0, precision=hi)
+        + jnp.einsum("hwc,wx->hxc", x, wh1, precision=hi)
+    )
+    return (
+        jnp.einsum("hxc,hy->yxc", t, wv0, precision=hi)
+        + jnp.einsum("hxc,hy->yxc", t, wv1, precision=hi)
+    )
+
+
 @op
 class ResizeRead(ReadOp):
     """Single-image bilinear resize over any back read-op. Emits float32.
@@ -247,13 +393,56 @@ class ResizeRead(ReadOp):
             return None
         if not jnp.issubdtype(jnp.dtype(conv.out_dtype), jnp.floating):
             return None  # integer out saturates — not affine
-        return src.read.lower(), conv
+        return src.read, conv
+
+    def _lower_yuv_planespace(self, readop, conv):
+        """Resize each NV12 plane at its NATIVE resolution, then convert.
+
+        The default commuted path still materializes full-resolution chroma
+        (2x nearest upsample) before resizing; here the upsample-then-resize
+        composition folds into a half-resolution polyphase plan
+        (:func:`_axis_phases_half`), so the chroma plane is read once at
+        native size. On a 6K -> 1080p downscale this removes every
+        full-resolution intermediate: the whole read is strided slices of
+        the raw NV12 buffer. Bit-identical to the full-res path. Returns
+        None when a plane's phase plan is infeasible (caller falls back).
+        """
+        import math
+
+        y, uv = readop.lower_native_planes()
+        src_h, src_w = int(y.shape[0]), int(y.shape[1])
+        dst_w, dst_h = self.dsize.width, self.dsize.height
+        qx = dst_w // math.gcd(src_w, dst_w)
+        qy = dst_h // math.gcd(src_h, dst_h)
+        if qx > _MAX_PHASES or qy > _MAX_PHASES:
+            return None
+        if (
+            _axis_phases_half(src_w, dst_w) is None
+            or _axis_phases_half(src_h, dst_h) is None
+        ):
+            return None
+        y_r = _resize_axis_static(y, 1, src_w, dst_w)
+        y_r = _resize_axis_static(y_r, 0, src_h, dst_h)
+        uv_r = _resize_axis_half(uv, 1, src_w, dst_w)
+        uv_r = _resize_axis_half(uv_r, 0, src_h, dst_h)
+        x = jnp.stack(
+            [
+                y_r.astype(jnp.float32),
+                uv_r[..., 0].astype(jnp.float32),
+                uv_r[..., 1].astype(jnp.float32),
+            ],
+            axis=-1,
+        )
+        return conv.apply(x)  # affine conversion on dst-resolution pixels
 
     def lower(self) -> jnp.ndarray:
         commuted = self._commuted_source()
         if commuted is not None:
-            yuv, conv = commuted
-            src = yuv
+            readop, conv = commuted
+            out = self._lower_yuv_planespace(readop, conv)
+            if out is not None:
+                return out
+            src = readop.lower()
         else:
             src = self.source.lower()
         if src.ndim != 3:
@@ -268,6 +457,8 @@ class ResizeRead(ReadOp):
             x = _resize_axis_static(src, 1, src_w, dst_w)
             x = _resize_axis_static(x, 0, src_h, dst_h)
             x = x.astype(jnp.float32)  # pure-subsample paths stay integer
+        elif (src_w * dst_w + src_h * dst_h) * 4 <= _MATMUL_WEIGHT_BYTES:
+            x = _resize_matmul(src, dst_w, dst_h)
         else:
             i0x, i1x, wx = axis_lerp(jnp.arange(dst_w), src_w, dst_w)
             i0y, i1y, wy = axis_lerp(jnp.arange(dst_h), src_h, dst_h)

@@ -152,3 +152,58 @@ def test_nv12_multi_camera_batch(rng):
     assert out.shape == (4, 3, H, W)
     ref0 = _np_nv12_to_rgb(bufs[0], 0.299, 0.114) * 0.5
     check_float(out[0], ref0.transpose(2, 0, 1), msg="camera 0")
+
+
+@pytest.mark.parametrize("src_hw,dst_wh", [
+    ((96, 144), (48, 32)),    # 3:1 both axes (P odd -> doubled chroma phases)
+    ((64, 96), (96, 144)),    # 3:2 upscale
+    ((54, 60), (40, 36)),     # 3:2 down / 2:3 up mix
+    ((64, 96), (64, 96)),     # identity ratio (pure chroma upsample)
+])
+def test_nv12_planespace_resize_parity(rng, src_hw, dst_wh):
+    """The plane-space rewrite (resize Y/U/V at native resolution, convert
+    after) must match the full-res reference composition exactly: cv2 resize
+    of the upsampled-and-converted image."""
+    import cv2
+    h, w = src_hw
+    buf = rng.integers(0, 256, (h * 3 // 2, w)).astype(np.uint8)
+    virtual = cvgs.fuse(
+        cvgs.read_yuv(buf),
+        cvgs.convert_yuv_to_rgb(standard=cvgs.ColorStandard.BT709,
+                                out_dtype=np.float32),
+    )
+    out = np.asarray(cvgs.execute_operations(
+        cvgs.resize(virtual, cvgs.Size(*dst_wh))))
+    # oracle: full-res YUV image (nearest chroma upsample), convert, resize
+    y = buf[:h].astype(np.float32)
+    uv = buf[h:].reshape(h // 2, w // 2, 2).astype(np.float32)
+    u = np.repeat(np.repeat(uv[..., 0], 2, 0), 2, 1)
+    v = np.repeat(np.repeat(uv[..., 1], 2, 0), 2, 1)
+    kr, kb = 0.2126, 0.0722
+    kg = 1.0 - kr - kb
+    uu, vv = u - 128.0, v - 128.0
+    full = np.stack([
+        y + np.float32(2 * (1 - kr)) * vv,
+        y - np.float32(2 * kb * (1 - kb) / kg) * uu
+          - np.float32(2 * kr * (1 - kr) / kg) * vv,
+        y + np.float32(2 * (1 - kb)) * uu,
+    ], axis=-1)
+    ref = cv2.resize(full, dst_wh, interpolation=cv2.INTER_LINEAR)
+    check_float(out, ref, msg=f"NV12 plane-space {src_hw}->{dst_wh}")
+
+
+def test_nv21_planespace_resize_parity(rng):
+    """NV21 (swapped UV) must survive the plane-space rewrite."""
+    h, w = 64, 96
+    buf = rng.integers(0, 256, (h * 3 // 2, w)).astype(np.uint8)
+    v12 = cvgs.fuse(cvgs.read_yuv(buf, pixel_format=cvgs.PixelFormat.NV21),
+                    cvgs.convert_yuv_to_rgb(out_dtype=np.float32))
+    out = np.asarray(cvgs.execute_operations(cvgs.resize(v12, cvgs.Size(48, 32))))
+    # swap UV pairs in the buffer -> NV12 read must equal the NV21 read
+    buf2 = buf.copy()
+    uvrows = buf2[h:].reshape(-1, 2)
+    buf2[h:] = uvrows[:, ::-1].reshape(buf2[h:].shape)
+    v21 = cvgs.fuse(cvgs.read_yuv(buf2),
+                    cvgs.convert_yuv_to_rgb(out_dtype=np.float32))
+    ref = np.asarray(cvgs.execute_operations(cvgs.resize(v21, cvgs.Size(48, 32))))
+    check_float(out, ref, msg="NV21 plane-space")

@@ -121,3 +121,44 @@ def test_polyphase_matches_gather_path(rng, src_wh, dst_wh):
     finally:
         rz._MAX_PHASES = old
     check_float(out_poly, out_gather, tol=1e-4, msg=f"polyphase vs gather {src_wh}->{dst_wh}")
+
+
+@pytest.mark.parametrize("src_wh,dst_wh", [
+    ((1920, 1080), (97, 111)),   # prime dst dims: 97/37 phases
+    ((640, 480), (97, 111)),     # coprime-ish ratios both axes
+])
+@pytest.mark.parametrize("channels", [1, 3])
+def test_resize_matmul_path_vs_cv2(rng, src_wh, dst_wh, channels):
+    """Ratios beyond the polyphase cap lower to dense MXU matmuls; weights
+    use the identical axis_lerp taps so parity holds at the same tolerance."""
+    from cvgpuspeedup_tpu.ops import resize as resize_mod
+    import math
+    qx = dst_wh[0] // math.gcd(src_wh[0], dst_wh[0])
+    qy = dst_wh[1] // math.gcd(src_wh[1], dst_wh[1])
+    assert max(qx, qy) > resize_mod._MAX_PHASES, "geometry must hit the matmul path"
+    img = rng.integers(0, 256, (src_wh[1], src_wh[0], channels)).astype(np.uint8)
+    out = np.asarray(
+        cvgs.execute_operations(cvgs.resize(img, cvgs.Size(*dst_wh)))
+    )
+    check_float(out, _cv_resize_f32(img, dst_wh),
+                msg=f"matmul resize {src_wh}->{dst_wh} c{channels}")
+
+
+def test_resize_matmul_then_cast(rng):
+    """Integer outputs through the matmul path: the split single-tap weight
+    matrices reproduce the exact lerp products, so any deviation from the
+    cv2-float-then-round oracle can only be a .5 rounding tie where cv2's own
+    float value drifts ~1 ulp (same contract as the fused NV12 resize test)."""
+    img = rng.integers(0, 256, (480, 640, 3)).astype(np.uint8)
+    out = np.asarray(
+        cvgs.execute_operations(
+            cvgs.resize(img, cvgs.Size(97, 111)), cvgs.convert_to(np.uint8)
+        )
+    )
+    ref = _cv_resize_f32(img, (97, 111))
+    ref_u8 = np.clip(np.rint(ref), 0, 255).astype(np.uint8)
+    diff = np.abs(out.astype(np.int32) - ref_u8.astype(np.int32))
+    assert (diff > 1).sum() == 0, f"non-tie mismatches: {(diff > 1).sum()}"
+    # every 1-lsb difference must sit on a genuine .5 tie of the oracle float
+    ties = diff == 1
+    assert np.all(np.abs(ref[ties] - (np.floor(ref[ties]) + 0.5)) < 1e-4)
