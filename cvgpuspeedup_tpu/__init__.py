@@ -44,6 +44,7 @@ from .ops.memory import (
     ImageRead,
     SplitWrite,
     TensorSplit,
+    TensorSplitPacked,
     TensorTSplit,
     TensorWrite,
     Write2D,
@@ -489,6 +490,16 @@ def split_tensor_transposed() -> WriteOp:
     return TensorTSplit()
 
 
+def split_tensor_packed() -> WriteOp:
+    """Planar tensor in the fully-packed TPU tiling (N, C, H/f, f*W) —
+    row-major-identical to :func:`split_tensor` (``reshape(N, C, H, W)``
+    recovers it; ``reshape(N, C*H*W)`` is the reference's flat per-image
+    row). Fills all 128 lanes of every vector row when W < 128, which the
+    planar layout cannot — use for peak write bandwidth when the consumer
+    accepts flat plane buffers."""
+    return TensorSplitPacked()
+
+
 __all__ = [
     # graph
     "IOp", "ReadOp", "ComputeOp", "WriteOp", "FusedCompute", "fuse",
@@ -504,6 +515,7 @@ __all__ = [
     "read_yuv", "crop", "crop_batch", "resize", "resize_batch", "warp",
     "batch_read", "circular_batch_read", "set_to", "make_border", "BorderMode", "warp_batch",
     "write", "write_tensor", "split", "split_tensor", "split_tensor_transposed",
+    "split_tensor_packed",
     # data
     "CircularTensor",
     # utils

