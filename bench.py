@@ -11,12 +11,15 @@ Timing protocol (reference harness analog, ``tests/testsCommon.cuh:122-195``
 through the axon tunnel ``block_until_ready`` returns before execution
 finishes and only a device->host transfer observes completion (first
 transfer warms the path in O(1 min), later syncs are ~0.1 s). Device time
-per batch is therefore measured DIFFERENTIALLY: one jitted program containing
-N UNROLLED kernel invocations (each with distinct rect shifts so XLA cannot
-CSE them), synced by a single scalar ``device_get``;
-t_batch = (T(N2) - T(N1)) / (N2 - N1) cancels the constant dispatch+transfer
-latency. Unrolling matters: wrapping the kernel in ``lax.scan`` adds ~110 us
-of device-loop bookkeeping per iteration, 2-3x the kernel itself.
+per batch is therefore measured DIFFERENTIALLY over a LARGE iteration count:
+one jitted program of 100 UNROLLED kernel invocations (distinct rect shifts
+so XLA cannot CSE them; lax.scan would add ~110 us/iter of loop bookkeeping),
+called k times back-to-back with one scalar sync;
+t_batch = (T(k2)-T(k1)) / ((k2-k1)*100). The 2000-batch differential signal
+(~85 ms) stands far above the few-ms sync jitter; small-N protocols measured
++-20 us/batch noise, larger than the kernel itself. The bench also checks
+the ON-DEVICE output against the cv2 oracle before timing — interpret-mode
+parity cannot see Mosaic lowering bugs.
 
 Baseline: the same math issued as one device program per op per crop — the
 250-launch pattern cvGPUSpeedup replaces (``README.md:90-98``).
@@ -40,7 +43,6 @@ BATCH = 50
 SRC_H, SRC_W = 2160, 3840
 UP = cvgs.Size(64, 128)
 ALPHA, SUB, DIV = 0.3, (3.2, 0.6, 11.8), (128.0, 128.0, 128.0)
-N_SMALL, N_LARGE = 5, 55
 
 
 def log(*a):
@@ -60,7 +62,7 @@ def build_pipeline(frame, rects):
     )
 
 
-def make_runner(pipeline, lower_fn, iters):
+def make_runner(pipeline, lower_fn, iters=100):
     leaves, treedef = jax.tree_util.tree_flatten(pipeline)
     leaves = [jax.device_put(l) for l in leaves]
     rect_idx = next(
@@ -69,12 +71,12 @@ def make_runner(pipeline, lower_fn, iters):
     )
 
     @jax.jit
-    def run_n(ls):
+    def run_n(ls, seed):
         total = jnp.float32(0.0)
         for i in range(iters):
             lv = list(ls)
             # distinct rect shifts per invocation: prevents CSE/hoisting
-            lv[rect_idx] = lv[rect_idx] + (i % 97)
+            lv[rect_idx] = lv[rect_idx] + (i % 97) + seed
             p = jax.tree_util.tree_unflatten(treedef, lv)
             out = lower_fn(p)
             if isinstance(out, (tuple, list)):
@@ -84,27 +86,67 @@ def make_runner(pipeline, lower_fn, iters):
             total = total + out[(0,) * out.ndim].astype(jnp.float32)
         return total
 
-    return lambda: run_n(leaves)
+    return lambda seed=0: run_n(leaves, jnp.int32(seed))
 
 
-def differential_time(pipeline, lower_fn, reps=3):
-    """Median of `reps` differential measurements (sync jitter is a few ms)."""
-    run_s = make_runner(pipeline, lower_fn, N_SMALL)
-    run_l = make_runner(pipeline, lower_fn, N_LARGE)
-    sync(run_s())  # compile + warmup
-    sync(run_l())
+def differential_time(pipeline, lower_fn, inner=100, k_small=2, k_large=22,
+                      reps=5):
+    """Median per-batch device time.
+
+    Protocol: ONE jitted program of `inner` unrolled kernel invocations
+    (distinct rect shifts defeat CSE), called k times back-to-back with a
+    single transfer sync at the end; t = (T(k2) - T(k1)) / ((k2-k1)*inner).
+    The differential cancels the constant dispatch+sync latency, and the
+    2000-batch signal (~85 ms) stands far above the few-ms sync jitter —
+    the earlier small-N unrolled protocol had +-20 us/batch error, larger
+    than the kernel itself.
+    """
+    run = make_runner(pipeline, lower_fn, inner)
+    sync(run())  # compile + warmup
+
+    def run_k(k):
+        t = None
+        for j in range(k):
+            t = run(j % 3)
+        sync(t)
+
     diffs = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        sync(run_s())
+        run_k(k_small)
         ts = time.perf_counter() - t0
         t0 = time.perf_counter()
-        sync(run_l())
+        run_k(k_large)
         tl = time.perf_counter() - t0
-        diffs.append(max(tl - ts, 1e-9) / (N_LARGE - N_SMALL))
+        diffs.append(max(tl - ts, 1e-9) / ((k_large - k_small) * inner))
     diffs.sort()
-    log(f"  diffs us: {[f'{d*1e6:.0f}' for d in diffs]}")
+    log(f"  per-batch us: {[f'{d*1e6:.1f}' for d in diffs]}")
     return diffs[len(diffs) // 2]
+
+
+def check_on_device(pipeline, lower_fn, frame, rects):
+    """On-device output vs the cv2 oracle — guards against Mosaic lowering
+    bugs that interpret mode cannot see (e.g. the non-pow2 dynamic_rotate
+    miscompile). One ~5 MB device->host transfer on the warm path."""
+    import cv2
+
+    leaves, treedef = jax.tree_util.tree_flatten(pipeline)
+    out = np.asarray(
+        jax.jit(lambda ls: lower_fn(jax.tree_util.tree_unflatten(treedef, ls)))(
+            leaves
+        )
+    )
+    refs = []
+    for (x, y, w, h) in rects:
+        crop = frame[y : y + h, x : x + w].astype(np.float32)
+        r = cv2.resize(crop, (UP.width, UP.height), interpolation=cv2.INTER_LINEAR)
+        r = (r * np.float32(ALPHA) - np.float32(SUB)) / np.float32(DIV)
+        refs.append(r.transpose(2, 0, 1))
+    ref = np.stack(refs).reshape(out.shape)
+    err = np.abs(out - ref).max()
+    log(f"on-device correctness vs cv2 oracle: max |diff| = {err:.2e}")
+    if err > 1e-4:
+        raise AssertionError(f"device output diverges from oracle: {err}")
 
 
 def unfused_baseline(frame_dev, rects_np, reps=3):
@@ -168,10 +210,12 @@ def main():
         fused_lower = lambda p: pallas_backend.try_lower(p, interpret=False)
     else:
         fused_lower = lambda p: p.lower()
+    check_on_device(pipeline, fused_lower, frame, rects)
     t_fused = differential_time(pipeline, fused_lower)
     log(f"fused ({'pallas' if use_pallas else 'xla'}): {t_fused*1e6:.1f} us/batch")
 
-    t_xla = differential_time(pipeline, lambda p: p.lower())
+    t_xla = differential_time(pipeline, lambda p: p.lower(),
+                              inner=20, k_small=1, k_large=5)
     log(f"fused xla path: {t_xla*1e6:.1f} us/batch")
 
     t_unfused = unfused_baseline(frame_dev, rects)

@@ -532,27 +532,48 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
             (new_w_c, new_h_c, ox_c, oy_c),
         )
 
-    # ---- output layout ----
+    lanes = win_w * nch
+    # lane rotates (dx residual removal) are only correct for power-of-two
+    # lane counts: allocate the window ring padded up; the DMA fills the
+    # real lanes, the rotate+core-slice never reads the pad (j + dx*C <
+    # win_w*C by construction of the window bucket)
+    lanes_alloc = 1 << (lanes - 1).bit_length() if frame_mode else lanes
+
+    # planes per grid step: a single plane's chain (widen -> rotate -> H dot
+    # -> split -> V dot -> chain -> write) is one serial dependence line, so
+    # VPU and MXU take turns idling. Grouping P independent planes per step
+    # lets the Mosaic scheduler interleave their chains (measured: 42 -> 25
+    # us/batch at P=5 on the flagship; P=10 is no faster and doubles the
+    # unrolled program / compile time). Ring footprint bounds P.
+    group_p = 1
+    for cand in (5, 4, 3, 2):
+        ring = 2 * cand * win_h * lanes_alloc * src.dtype.itemsize
+        if n_planes % cand == 0 and ring <= 3 * 1024 * 1024:
+            group_p = cand
+            break
+    steps = n_planes // group_p
+
+    # ---- output layout (blocks cover the step's plane group) ----
     if isinstance(write, TensorSplitPacked):
         h_p, w_p = h_out // f_pack, f_pack * w_out
         out_shape = jax.ShapeDtypeStruct((n_planes, out_ch, h_p, w_p), out_dtype)
         out_spec = pl.BlockSpec(
-            (1, out_ch, h_p, w_p), lambda z, *_: (z, 0, 0, 0)
+            (group_p, out_ch, h_p, w_p), lambda s, *_: (s, 0, 0, 0)
         )
     elif isinstance(write, TensorSplit):
         out_shape = jax.ShapeDtypeStruct((n_planes, out_ch, h_out, w_out), out_dtype)
         out_spec = pl.BlockSpec(
-            (1, out_ch, h_out, w_out), lambda z, *_: (z, 0, 0, 0)
+            (group_p, out_ch, h_out, w_out), lambda s, *_: (s, 0, 0, 0)
         )
     elif isinstance(write, TensorTSplit):
         out_shape = jax.ShapeDtypeStruct((out_ch, n_planes, h_out, w_out), out_dtype)
         out_spec = pl.BlockSpec(
-            (out_ch, 1, h_out, w_out), lambda z, *_: (0, z, 0, 0)
+            (out_ch, group_p, h_out, w_out), lambda s, *_: (0, s, 0, 0)
         )
     elif isinstance(write, (TensorWrite, Write2D)):
         out_shape = jax.ShapeDtypeStruct((n_planes, h_out, w_out, out_ch), out_dtype)
         out_spec = pl.BlockSpec(
-            (1, h_out, w_out, out_ch), lambda z, *_: (z, 0, 0, 0)
+            (group_p, h_out, w_out, out_ch), lambda s, *_: (s, 0, 0, 0)
         )
     else:  # SplitWrite
         out_shape = tuple(
@@ -560,16 +581,9 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
             for _ in range(out_ch)
         )
         out_spec = tuple(
-            pl.BlockSpec((1, h_out, w_out), lambda z, *_: (z, 0, 0))
+            pl.BlockSpec((group_p, h_out, w_out), lambda s, *_: (s, 0, 0))
             for _ in range(out_ch)
         )
-
-    lanes = win_w * nch
-    # lane rotates (dx residual removal) are only correct for power-of-two
-    # lane counts: allocate the window ring padded up; the DMA fills the
-    # real lanes, the rotate+core-slice never reads the pad (j + dx*C <
-    # win_w*C by construction of the window bucket)
-    lanes_alloc = 1 << (lanes - 1).bit_length() if frame_mode else lanes
 
     def kernel(rects_ref, used_ref, fp_ref, src_ref, *rest):
         if weight_consts is not None:
@@ -603,7 +617,7 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
                 )
         chain_k = jax.tree_util.tree_unflatten(chain_def, leaf_vals)
 
-        z = pl.program_id(0)
+        s = pl.program_id(0)
 
         def plane_dma(i, slot):
             """DMA for plane i into ring slot: dynamic window, legal offsets."""
@@ -630,147 +644,167 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
             )
             return pltpu.make_async_copy(src_slice, dst, sem.at[slot])
 
-        # double-buffered crop-window pipeline across grid steps: program z
-        # waits on the DMA issued at step z-1 while step z+1's is in flight
-        @pl.when(z == 0)
-        def _():
-            plane_dma(0, 0).start()
-
-        @pl.when(z + 1 < n_planes)
-        def _():
-            plane_dma(z + 1, (z + 1) % 2).start()
-
-        x0 = rect_of(z, 0)
-        y0 = rect_of(z, 1)
-        if weight_consts is None:
-            w = rect_of(z, 2)
-            h = rect_of(z, 3)
-            new_w, new_h, ox, oy = letterbox_geometry(w, h, dsize, mode)
-        else:
-            new_w, new_h, ox, oy = weight_consts[2]
-        if frame_mode:
-            dy = y0 - jnp.minimum((y0 // 8) * 8, src_h - win_h)
-            dx = x0 - jnp.minimum((x0 // align) * align, src_w - win_w)
-        else:
-            dy = jnp.int32(0)
-            dx = jnp.int32(0)
-
-        hf = h_out // f_pack
-        if weight_consts is not None:
-            # plane-invariant weights, fetched once per launch; the phase-
-            # stacked vertical matrix is selected by this plane's dy residual
-            wv_lhs = wv_ref[dy] if frame_mode else wv_ref[0]
-            wh_all = wh_ref[...]
-            row_ins = []
-            for k in range(f_pack):
-                row = (
-                    jax.lax.broadcasted_iota(jnp.int32, (hf, 1), 0) * f_pack + k
-                )
-                row_ins.append(
-                    ((row - oy >= 0) & (row - oy < new_h)).astype(jnp.float32)
-                )
-        else:
-            wv_lhs, row_ins, wh_all = _build_weights(
-                z, rect_of, h_out, w_out, nch, win_h, core_w, dsize, mode,
-                dy, f_pack,
-            )
-
-        plane_dma(z, z % 2).wait()
-        win = window[z % 2]
-        if dt.is_integer(win.dtype):
-            # Mosaic has no direct u8->f32 cast (and dynamic rotates need
-            # 32-bit data); widen via int32 first
-            win = win.astype(jnp.int32)
-        if frame_mode:
-            # remove the dx residual with a lane rotate + static core slice.
-            # tpu.dynamic_rotate is ONLY correct for power-of-two axis sizes
-            # (measured envelope: lanes 384/640/768 rotate WRONG on hardware,
-            # 128/256/512/1024 right; interpret mode does not catch it) —
-            # hence the pow2-padded window ring. The dy residual rides the
-            # vertical matmul taps instead: window row counts are not pow2.
-            win = pltpu.roll(win, -dx * nch, 1)
-            win = win[:, : core_w * nch]
-
-        if exact_bf16:
-            # exact single-pass bf16 MXU path (see _exact_bf16_geometry):
-            # u8 window and num/2^k weights are bf16-exact, so one pass
-            # reproduces the f32-HIGHEST result bit-for-bit at ~6x the rate.
-            # the i32 window converts straight to bf16 (values <= 255: exact);
-            # baked weight consts are already bf16, in-kernel builds cast once
-            tmp = jax.lax.dot_general(
-                win.astype(jnp.bfloat16),
-                wh_all if wh_all.dtype == jnp.bfloat16
-                else wh_all.astype(jnp.bfloat16),
-                (((1,), (0,)), ((), ())), precision=_DEFAULT,
-                preferred_element_type=jnp.float32,
-            )  # (win_h, C*W_out), exact 16-bit-significand values
-            # Dekker split: tmp == hi + lo exactly, both bf16-exact. The
-            # hi+lo SUM folds into the vertical matmul itself: lhs duplicated
-            # along K times rhs [t_hi; t_lo] — one dot instead of two, every
-            # partial sum still an exact bounded integer multiple of 1/den
-            t_hi = tmp.astype(jnp.bfloat16)
-            t_lo = (tmp - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            rhs = jnp.concatenate([t_hi, t_lo], axis=0)  # (2*win_h, C*W_out)
-            if wv_lhs.dtype == jnp.bfloat16:
-                lhs = wv_lhs  # baked: already K-duplicated bf16
+        def plane_body(z, slot, j):
+            """Resize + chain + write for plane z (ring slot `slot`, group
+            position `j`). The group_p bodies inside one step are mutually
+            independent chains — the scheduler interleaves their VPU and MXU
+            work (a single chain leaves one unit idle at every stage)."""
+            x0 = rect_of(z, 0)
+            y0 = rect_of(z, 1)
+            if weight_consts is None:
+                w = rect_of(z, 2)
+                h = rect_of(z, 3)
+                new_w, new_h, ox, oy = letterbox_geometry(w, h, dsize, mode)
             else:
-                wv_b = wv_lhs.astype(jnp.bfloat16)
-                lhs = jnp.concatenate([wv_b, wv_b], axis=1)
-            vals_all = jax.lax.dot_general(
-                lhs, rhs, (((1,), (0,)), ((), ())), precision=_DEFAULT,
-                preferred_element_type=jnp.float32,
-            )  # (H_out, C*W_out), phase-stacked rows
-        else:
-            tmp = jax.lax.dot_general(
-                win.astype(jnp.float32), wh_all,
-                (((1,), (0,)), ((), ())), precision=_HIGHEST,
-                preferred_element_type=jnp.float32,
-            )  # (win_h, C*W_out)
-            vals_all = jax.lax.dot_general(
-                wv_lhs, tmp, (((1,), (0,)), ((), ())), precision=_HIGHEST,
-                preferred_element_type=jnp.float32,
-            )  # (H_out, C*W_out), phase-stacked rows
+                new_w, new_h, ox, oy = weight_consts[2]
+            if frame_mode:
+                dy = y0 - jnp.minimum((y0 // 8) * 8, src_h - win_h)
+                dx = x0 - jnp.minimum((x0 // align) * align, src_w - win_w)
+            else:
+                dy = jnp.int32(0)
+                dx = jnp.int32(0)
 
-        # phase k occupies the row block [k*hf, (k+1)*hf)
-        vals_k = [vals_all[k * hf : (k + 1) * hf] for k in range(f_pack)]
-
-        needs_mask = (
-            mode != AspectRatio.IGNORE_AR or read.used_planes is not None
-        )
-        planes = []
-        if needs_mask:
-            active = (z < used_count).astype(jnp.float32)
-            col = jax.lax.broadcasted_iota(jnp.int32, (1, w_out), 1)
-            col_in_c = ((col - ox >= 0) & (col - ox < new_w)).astype(jnp.float32)
-            for c in range(nch):
-                segs = []
-                for vals, row_in in zip(vals_k, row_ins):
-                    inside = (row_in * col_in_c) * active  # (H_out/f, W_out)
-                    val = vals[:, c * w_out : (c + 1) * w_out]
-                    segs.append(val * inside + bg_of(c) * (1.0 - inside))
-                planes.append(
-                    segs[0] if f_pack == 1 else jnp.concatenate(segs, axis=1)
-                )
-        else:
-            for c in range(nch):
-                segs = [v[:, c * w_out : (c + 1) * w_out] for v in vals_k]
-                planes.append(
-                    segs[0] if f_pack == 1 else jnp.concatenate(segs, axis=1)
+            hf = h_out // f_pack
+            if weight_consts is not None:
+                # plane-invariant weights, fetched once per launch; the phase-
+                # stacked vertical matrix selected by this plane's dy residual
+                wv_lhs = wv_ref[dy] if frame_mode else wv_ref[0]
+                wh_all = wh_ref[...]
+                row_ins = []
+                for k in range(f_pack):
+                    row = (
+                        jax.lax.broadcasted_iota(jnp.int32, (hf, 1), 0)
+                        * f_pack + k
+                    )
+                    row_ins.append(
+                        ((row - oy >= 0) & (row - oy < new_h)).astype(jnp.float32)
+                    )
+            else:
+                wv_lhs, row_ins, wh_all = _build_weights(
+                    z, rect_of, h_out, w_out, nch, win_h, core_w, dsize, mode,
+                    dy, f_pack,
                 )
 
-        planes = _apply_chain_planar(chain_k, planes)
+            win = window[slot]
+            if dt.is_integer(win.dtype):
+                # Mosaic has no direct u8->f32 cast (and dynamic rotates need
+                # 32-bit data); widen via int32 first
+                win = win.astype(jnp.int32)
+            if frame_mode:
+                # remove the dx residual with a lane rotate + static core
+                # slice. tpu.dynamic_rotate is ONLY correct for power-of-two
+                # axis sizes (measured: lanes 384/640/768 rotate WRONG on
+                # hardware, 128/256/512/1024 right; interpret mode does not
+                # catch it) — hence the pow2-padded window ring. The dy
+                # residual rides the vertical matmul taps instead: window row
+                # counts are not pow2.
+                win = pltpu.roll(win, -dx * nch, 1)
+                win = win[:, : core_w * nch]
 
-        if isinstance(write, (TensorSplit, TensorSplitPacked)):
-            for c, p in enumerate(planes):
-                out_refs[0][0, c] = p
-        elif isinstance(write, TensorTSplit):
-            for c, p in enumerate(planes):
-                out_refs[0][c, 0] = p
-        elif isinstance(write, (TensorWrite, Write2D)):
-            out_refs[0][0] = jnp.stack(planes, axis=-1)
-        else:  # SplitWrite
-            for c, p in enumerate(planes):
-                out_refs[c][0] = p
+            if exact_bf16:
+                # exact single-pass bf16 MXU path (see _exact_bf16_geometry):
+                # u8 window and num/2^k weights are bf16-exact, so one pass
+                # reproduces the f32-HIGHEST result bit-for-bit at ~6x the
+                # rate. The i32 window converts straight to bf16 (values <=
+                # 255: exact); baked weight consts are already bf16.
+                tmp = jax.lax.dot_general(
+                    win.astype(jnp.bfloat16),
+                    wh_all if wh_all.dtype == jnp.bfloat16
+                    else wh_all.astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())), precision=_DEFAULT,
+                    preferred_element_type=jnp.float32,
+                )  # (win_h, C*W_out), exact 16-bit-significand values
+                # Dekker split: tmp == hi + lo exactly, both bf16-exact. The
+                # hi+lo SUM folds into the vertical matmul: lhs duplicated
+                # along K times rhs [t_hi; t_lo] — one dot, every partial sum
+                # still an exact bounded integer multiple of 1/den
+                t_hi = tmp.astype(jnp.bfloat16)
+                t_lo = (tmp - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                rhs = jnp.concatenate([t_hi, t_lo], axis=0)
+                if wv_lhs.dtype == jnp.bfloat16:
+                    lhs = wv_lhs  # baked: already K-duplicated bf16
+                else:
+                    wv_b = wv_lhs.astype(jnp.bfloat16)
+                    lhs = jnp.concatenate([wv_b, wv_b], axis=1)
+                vals_all = jax.lax.dot_general(
+                    lhs, rhs, (((1,), (0,)), ((), ())), precision=_DEFAULT,
+                    preferred_element_type=jnp.float32,
+                )  # (H_out, C*W_out), phase-stacked rows
+            else:
+                tmp = jax.lax.dot_general(
+                    win.astype(jnp.float32), wh_all,
+                    (((1,), (0,)), ((), ())), precision=_HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )  # (win_h, C*W_out)
+                vals_all = jax.lax.dot_general(
+                    wv_lhs, tmp, (((1,), (0,)), ((), ())), precision=_HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )  # (H_out, C*W_out), phase-stacked rows
+
+            # phase k occupies the row block [k*hf, (k+1)*hf)
+            vals_k = [vals_all[k * hf : (k + 1) * hf] for k in range(f_pack)]
+
+            needs_mask = (
+                mode != AspectRatio.IGNORE_AR or read.used_planes is not None
+            )
+            planes = []
+            if needs_mask:
+                active = (z < used_count).astype(jnp.float32)
+                col = jax.lax.broadcasted_iota(jnp.int32, (1, w_out), 1)
+                col_in_c = ((col - ox >= 0) & (col - ox < new_w)).astype(
+                    jnp.float32
+                )
+                for c in range(nch):
+                    segs = []
+                    for vals, row_in in zip(vals_k, row_ins):
+                        inside = (row_in * col_in_c) * active
+                        val = vals[:, c * w_out : (c + 1) * w_out]
+                        segs.append(val * inside + bg_of(c) * (1.0 - inside))
+                    planes.append(
+                        segs[0] if f_pack == 1 else jnp.concatenate(segs, axis=1)
+                    )
+            else:
+                for c in range(nch):
+                    segs = [v[:, c * w_out : (c + 1) * w_out] for v in vals_k]
+                    planes.append(
+                        segs[0] if f_pack == 1 else jnp.concatenate(segs, axis=1)
+                    )
+
+            planes = _apply_chain_planar(chain_k, planes)
+
+            if isinstance(write, (TensorSplit, TensorSplitPacked)):
+                for c, p in enumerate(planes):
+                    out_refs[0][j, c] = p
+            elif isinstance(write, TensorTSplit):
+                for c, p in enumerate(planes):
+                    out_refs[0][c, j] = p
+            elif isinstance(write, (TensorWrite, Write2D)):
+                out_refs[0][j] = jnp.stack(planes, axis=-1)
+            else:  # SplitWrite
+                for c, p in enumerate(planes):
+                    out_refs[c][j] = p
+
+        # double-buffered crop-window pipeline across grid steps: step s
+        # waits on the group DMAs issued at step s-1 while s+1's fly
+        @pl.when(s == 0)
+        def _():
+            for j in range(group_p):
+                plane_dma(j, j).start()
+
+        @pl.when(s + 1 < steps)
+        def _():
+            for j in range(group_p):
+                plane_dma(
+                    (s + 1) * group_p + j, ((s + 1) % 2) * group_p + j
+                ).start()
+
+        # ALL the group's waits come before ANY body: a semaphore wait is a
+        # scheduling barrier, so interleaving wait->body per plane would
+        # re-serialize the independent chains (measured 38 vs 23 us/batch)
+        for j in range(group_p):
+            plane_dma(s * group_p + j, (s % 2) * group_p + j).wait()
+        for j in range(group_p):
+            plane_body(s * group_p + j, (s % 2) * group_p + j, j)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
     extra_inputs = []
@@ -786,12 +820,12 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(n_planes,),
+        grid=(steps,),
         in_specs=in_specs,
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((2, win_h, lanes_alloc), src.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2 * group_p, win_h, lanes_alloc), src.dtype),
+            pltpu.SemaphoreType.DMA((2 * group_p,)),
         ],
     )
 
