@@ -29,28 +29,37 @@ from cvgpuspeedup_tpu.utils.profiling import BenchmarkRecorder, TimingStats
 from cvgpuspeedup_tpu.utils.profiling import transfer_sync as sync  # noqa: E402
 
 
-def diff_time(step_fn, payload, n_small=4, n_large=24, reps=3):
-    """Differential timing over UNROLLED step invocations (lax.scan adds
-    ~110us of loop bookkeeping per iteration around non-fusable bodies).
-    step_fn(carry, i, payload) -> carry, with i a PYTHON int (each unrolled
-    step must see a distinct value so XLA cannot CSE)."""
-    runners = {}
-    for n in (n_small, n_large):
-        @jax.jit
-        def run(p, _n=n):
-            c = jnp.float32(0.0)
-            for i in range(_n):
-                c = step_fn(c, i, p)
-            return c
-        runners[n] = run
-        sync(run(payload))
+def diff_time(step_fn, payload, inner=20, k_small=1, k_large=9, reps=5):
+    """Differential timing with a LARGE-signal protocol: one jitted program
+    of `inner` UNROLLED step invocations (lax.scan adds ~110us of loop
+    bookkeeping per iteration around non-fusable bodies; each unrolled step
+    sees a distinct python-int i so XLA cannot CSE), called k times
+    back-to-back with one sync; t = (T(k2)-T(k1)) / ((k2-k1)*inner). The
+    multi-ms differential stands above the few-ms sync jitter — small-N
+    protocols measured tens of us of noise per step.
+    step_fn(carry, i, payload) -> carry."""
+    @jax.jit
+    def run(p, seed):
+        c = jnp.float32(seed)
+        for i in range(inner):
+            c = step_fn(c, i, p)
+        return c
+
+    sync(run(payload, 0.0))
+
+    def run_k(k):
+        t = None
+        for j in range(k):
+            t = run(payload, float(j % 3))
+        sync(t)
+
     diffs = []
     for _ in range(reps):
-        t0 = time.perf_counter(); sync(runners[n_small](payload))
+        t0 = time.perf_counter(); run_k(k_small)
         ts = time.perf_counter() - t0
-        t0 = time.perf_counter(); sync(runners[n_large](payload))
+        t0 = time.perf_counter(); run_k(k_large)
         tl = time.perf_counter() - t0
-        diffs.append(max(tl - ts, 1e-9) / (n_large - n_small))
+        diffs.append(max(tl - ts, 1e-9) / ((k_large - k_small) * inner))
     diffs.sort()
     return diffs[len(diffs) // 2]
 
@@ -94,7 +103,7 @@ def bench_nv12_6k(rec):
         )
         return c + pipe.lower()[0, 0, 0]
 
-    t = diff_time(step, buf, n_small=3, n_large=13)
+    t = diff_time(step, buf, inner=10, k_large=6)
     rec.add_case("nv12_6k_to_1080p_rgb_normalize",
                  TimingStats(t, 0, t, t, 50), TimingStats(t, 0, t, t, 50))
     print(f"6K NV12 -> 1080p RGB normalize (fused read): {t*1e6:.1f} us/frame "
@@ -115,25 +124,30 @@ def bench_circular_tensor(rec):
         new = jnp.transpose(pipe.lower(), (2, 0, 1))[None]
         return jnp.concatenate([new, ring[:-1]], axis=0)
 
-    runners = {}
-    for n in (4, 24):
-        @jax.jit
-        def run(p, _n=n):
-            ring = ring0
-            for i in range(_n):
-                ring = step(ring, i, p)
-            return ring
-        runners[n] = run
-        sync(run(frame))
+    @jax.jit
+    def run(p):
+        ring = ring0
+        for i in range(20):
+            ring = step(ring, i, p)
+        return ring
+
+    sync(run(frame))
+
+    def run_k(k):
+        t = None
+        for _ in range(k):
+            t = run(frame)
+        sync(t)
+
     diffs = []
-    for _ in range(3):
-        t0 = time.perf_counter(); sync(runners[4](frame))
+    for _ in range(5):
+        t0 = time.perf_counter(); run_k(1)
         ts = time.perf_counter() - t0
-        t0 = time.perf_counter(); sync(runners[24](frame))
+        t0 = time.perf_counter(); run_k(9)
         tl = time.perf_counter() - t0
-        diffs.append(max(tl - ts, 1e-9) / 20)
+        diffs.append(max(tl - ts, 1e-9) / (8 * 20))
     diffs.sort()
-    t = diffs[1]
+    t = diffs[2]
     rec.add_case("circular_tensor_32_update",
                  TimingStats(t, 0, t, t, 200), TimingStats(t, 0, t, t, 200))
     print(f"CircularTensor-32 update (resize+normalize+shift): {t*1e6:.1f} us "
