@@ -148,21 +148,25 @@ def clear_cache() -> None:
 
 def _lower_with_backend(pipeline: Pipeline, backend: ParBackend):
     if backend in (ParBackend.PALLAS, ParBackend.PALLAS_INTERPRET):
-        from . import pallas_backend
+        from . import pallas_backend, pallas_frame
 
         interpret = backend == ParBackend.PALLAS_INTERPRET
         lowered = pallas_backend.try_lower(pipeline, interpret=interpret)
+        if lowered is None:
+            lowered = pallas_frame.try_lower(pipeline, interpret=interpret)
         if lowered is not None:
             return lowered
-        # fall through: pattern not supported by the Pallas emitter
+        # fall through: pattern not supported by either Pallas emitter
     return pipeline.lower()
 
 
 def _resolve_auto(pipeline: Pipeline) -> ParBackend:
-    from . import pallas_backend
+    from . import pallas_backend, pallas_frame
 
     backend = jax.default_backend()
-    if backend == "tpu" and pallas_backend.supports(pipeline):
+    if backend == "tpu" and (
+        pallas_backend.supports(pipeline) or pallas_frame.supports(pipeline)
+    ):
         return ParBackend.PALLAS
     return ParBackend.XLA
 
