@@ -248,7 +248,10 @@ def resize(
         )
     src = _as_read(source)
     if dsize is None or dsize == Size(0, 0):
-        shape = jnp.asarray(src.lower()).shape if not isinstance(source, ReadOp) else None
+        # eval_shape: shape only, no device materialization (factories must
+        # stay host-cheap — lower() here would run the whole read on device)
+        shape = (jax.eval_shape(src.lower).shape
+                 if not isinstance(source, ReadOp) else None)
         if shape is None or not (fx > 0 and fy > 0):
             raise ValueError("resize with dsize=(0,0) needs fx, fy > 0 and an array source")
         dsize = Size(int(round(shape[1] * fx)), int(round(shape[0] * fy)))

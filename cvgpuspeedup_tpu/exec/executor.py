@@ -161,11 +161,17 @@ def _lower_with_backend(pipeline: Pipeline, backend: ParBackend):
 
 
 def _resolve_auto(pipeline: Pipeline) -> ParBackend:
+    """Pick the fastest backend, not just a supported one: ``supports()``
+    true does not imply faster — the frame kernel's fixed launch overheads
+    lose to XLA on small sources (measured 133 vs 17 us on a 64x128 frame),
+    so AUTO applies its profitability gate. An explicit ParBackend.PALLAS
+    request bypasses the gate (``_lower_with_backend`` honors it as-is)."""
     from . import pallas_backend, pallas_frame
 
     backend = jax.default_backend()
     if backend == "tpu" and (
-        pallas_backend.supports(pipeline) or pallas_frame.supports(pipeline)
+        pallas_backend.supports(pipeline)
+        or (pallas_frame.supports(pipeline) and pallas_frame.profitable(pipeline))
     ):
         return ParBackend.PALLAS
     return ParBackend.XLA

@@ -93,6 +93,14 @@ def _exact_bf16_geometry(src_dtype, w_out: int, h_out: int, mode) -> bool:
     return pow2_le_128(w_out) and pow2_le_128(h_out)
 
 
+def _n_dy_uniform(win_h: int, h_c: int) -> int:
+    """Entries needed in the baked per-dy vertical-matrix table (uniform
+    frame mode): dy = y0 % 8 in the unclamped regime (<= 7) and
+    dy = y0 - (src_h - win_h) <= win_h - h_c when the 8-aligned window start
+    clamps at the frame bottom."""
+    return max(8, win_h - h_c + 1)
+
+
 def _lane_align_px(nch: int) -> int:
     """Pixel alignment such that a pixel offset lands on a 128-lane boundary
     of the interleaved (W*C) axis: lcm(128, C) / C."""
@@ -273,11 +281,15 @@ def supports(pipeline) -> bool:
     geo = _window_geometry(read)
     out_ch_est, _ = _chain_out_struct(pipeline.compute, nch)
     h_o, w_o = read.dsize.height, read.dsize.width
+    if read.uniform_wh is not None and read.frame is not None:
+        n_dy_est = _n_dy_uniform(geo["win_h"], int(read.uniform_wh[1]))
+    else:
+        n_dy_est = 1
     body_bytes = (
         out_ch_est * h_o * w_o * 4 * 2      # output block (double buffered)
         + h_o * nch * w_o * 4               # vals
         + geo["core_w"] * nch * nch * w_o * 4  # wh
-        + 8 * h_o * geo["win_h"] * 4        # wv (8 dy variants, window rows)
+        + n_dy_est * h_o * geo["win_h"] * 4  # wv (per-dy variants, window rows)
     )
     window_bytes = 2 * geo["win_h"] * geo["win_w"] * nch * src.dtype.itemsize
     core_bytes = 2 * geo["core_h"] * geo["core_w"] * nch * 4
@@ -479,9 +491,15 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
     # values) and feed them as VMEM inputs with a constant index map, so
     # Mosaic fetches them once per launch instead of rebuilding per plane
     weight_consts = None
-    n_dy = 8 if frame_mode else 1  # the dy residual only takes 8 values
     if read.uniform_wh is not None:
         w_c, h_c = int(read.uniform_wh[0]), int(read.uniform_wh[1])
+        # dy residual range: unclamped starts give dy = y0 % 8 <= 7, but a
+        # bottom-of-frame crop clamps the window start to src_h - win_h and
+        # then dy = y0 - (src_h - win_h) <= win_h - h (valid rects have
+        # y0 + h <= src_h). Size the baked table for BOTH regimes — an
+        # 8-entry table made wv_ref[dy] read out of bounds (wrong vertical
+        # taps) for bottom-aligned crops.
+        n_dy = _n_dy_uniform(win_h, h_c) if frame_mode else 1
         new_w_c, new_h_c, ox_c, oy_c = _letterbox_static(w_c, h_c, dsize, mode)
         one = np.float32(1.0)
         # one PHASE-STACKED vertical matrix per dy residual: rows grouped by

@@ -121,15 +121,24 @@ def _v_bake(src_h: int, dst_h: int, R: int, row_offset: int,
         if rows_in > plane_rows:
             return None
         rstarts = [min(r0, plane_rows - rows_in) for r0 in rstarts]
-    # else: the plane row count is not 8-divisible (NV12 chroma: src_h/2
-    # rows sit at the bottom of the buffer) and a band's window may overrun
-    # the logical rows INTO THE TILED ALLOCATION'S ROW PADDING. This is safe
-    # and validated on hardware: Mosaic DMAs address the row-padded memref
-    # (ceil(rows/8)*8), the window end is 8-aligned so it never exceeds the
-    # padding, the overrun rows have structurally zero vertical weights
-    # (taps end at the last plane row), and the u8 chroma data widens to
-    # finite values — no NaN can leak through a 0-weight (float sources
-    # always take the clamped branch above: src_h % 8 == 0 is required).
+    else:
+        # The plane row count is not 8-divisible (NV12 chroma: src_h/2 rows
+        # sit at the bottom of the buffer) and a band's window may overrun
+        # the logical rows INTO THE TILED ALLOCATION'S ROW PADDING. This is
+        # safe and validated on hardware: Mosaic DMAs address the row-padded
+        # memref (ceil(rows/8)*8), the overrun rows have structurally zero
+        # vertical weights (taps end at the last plane row), and the u8
+        # chroma data widens to finite values — no NaN can leak through a
+        # 0-weight (float sources always take the clamped branch above:
+        # src_h % 8 == 0 is required). The argument needs each band's END
+        # (rstart + rows_in) to stay inside the padded allocation: rows_in is
+        # the max over ALL bands, so a band whose own need is smaller must
+        # have its start clamped — alignment jitter (lo % 8 up to 7) can
+        # otherwise push rstart + rows_in past roundup8(plane_rows).
+        padded_rows = -(-plane_rows // 8) * 8
+        if rows_in > padded_rows:
+            return None
+        rstarts = [min(r0, padded_rows - rows_in) for r0 in rstarts]
     wv = np.zeros((n_bands, R, rows_in), np.float32)
     rows = np.arange(R)
     for s in range(n_bands):
@@ -443,6 +452,29 @@ def supports(pipeline) -> bool:
     if not _chain_leaves_ok(pipeline.compute):
         return False
     return _plan_of(pipeline) is not None
+
+
+#: AUTO-gate calibration (TPU v5e, large-signal protocol): `supports()` true
+#: does NOT mean faster. Measured: a 64x128-frame resize ran ~133 us under
+#: this kernel vs ~17 us on the XLA path (fixed per-launch grid/DMA overheads
+#: dwarf the tiny frame), while 6K NV12 -> 1080p ran 122 us vs 708 us (5.9x).
+#: Small sources must therefore route to XLA under ParBackend.AUTO; an
+#: explicit ParBackend.PALLAS request still bypasses the gate.
+_MIN_IMAGE_SRC_BYTES = 2 * 1024 * 1024
+
+
+def profitable(pipeline) -> bool:
+    """True when this kernel is expected to beat the XLA lowering (used by
+    the AUTO backend resolver; explicit PALLAS requests bypass it)."""
+    plan = _plan_of(pipeline)
+    if plan is None:
+        return False
+    if plan["kind"] == "nv12":
+        # the fused NV12 read is the kernel's headline win (XLA's polyphase
+        # plane-space path still pays full-res RGB intermediates)
+        return True
+    src_bytes = plan["src_h"] * plan["lanes"] * plan["src_dtype"].itemsize
+    return src_bytes >= _MIN_IMAGE_SRC_BYTES
 
 
 def try_lower(pipeline, *, interpret: bool = False):

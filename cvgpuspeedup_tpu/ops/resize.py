@@ -197,7 +197,9 @@ def _axis_phases(src_len: int, dst_len: int):
     num = (2 * phis + 1) * src_len - dst_len
     den = 2 * dst_len
     i0 = num // den
-    w = ((num - i0 * den) / den).astype(np.float32)
+    # f32/f32 division, matching axis_lerp_np's single rounding (an f64
+    # divide then f32 cast can double-round one ulp differently)
+    w = (num - i0 * den).astype(np.float32) / np.float32(den)
     counts = np.full(q_phases, dst_len // q_phases, np.int64)
     return p_stride, q_phases, i0, w, counts
 
@@ -264,9 +266,9 @@ def _axis_phases_half(src_len_full: int, dst_len: int):
 
     with ``i0/i1/w`` from the full-res rational coordinates. ``i0(q+Q) =
     i0(q) + P`` makes the halved taps periodic in Q phases when P is even and
-    2Q phases when P is odd. Returns ``(stride, q2, j0, j1, w, counts_equal)``
-    or None when the doubled phase count does not divide ``dst_len`` or
-    exceeds the phase cap."""
+    2Q phases when P is odd. Returns ``(stride, q2, j0, j1, w)`` or None when
+    the doubled phase count does not divide ``dst_len`` or exceeds the phase
+    cap."""
     import math
 
     g = math.gcd(src_len_full, dst_len)
@@ -281,7 +283,8 @@ def _axis_phases_half(src_len_full: int, dst_len: int):
     num = (2 * phis + 1) * src_len_full - dst_len
     den = 2 * dst_len
     i0 = num // den  # UNCLAMPED full-res left tap (edge pad supplies clamps)
-    w = ((num - i0 * den) / den).astype(np.float32)
+    # same f32/f32 single-rounded division as axis_lerp_np / _axis_phases
+    w = (num - i0 * den).astype(np.float32) / np.float32(den)
     j0 = i0 // 2  # floor division: correct for negative taps too
     j1 = (i0 + 1) // 2
     return pp // 2, q2, j0, j1, w
@@ -291,7 +294,12 @@ def _resize_axis_half(x: jnp.ndarray, axis: int, src_len_full: int, dst_len: int
     """Resize one axis of a half-resolution plane using full-resolution
     INTER_LINEAR coordinates (chroma of NV12, see :func:`_axis_phases_half`).
     Bit-identical to ``_resize_axis_static`` applied to the 2x-upsampled
-    plane, without ever materializing it. Caller checks feasibility."""
+    plane (both keep unclamped taps and read edge padding, so clamped taps
+    hit the same pixel), without ever materializing it. Edge outputs can
+    drift <=1 ulp from the gather path: ``axis_lerp`` zeroes the weight at a
+    clamped edge (exactly ``v``) where the polyphase form computes
+    ``v*(1-w) + v*w`` — inside the float contract. Caller checks
+    feasibility."""
     plan = _axis_phases_half(src_len_full, dst_len)
     assert plan is not None, "caller must check _axis_phases_half feasibility"
     stride, q2, j0s, j1s, ws = plan
@@ -457,7 +465,9 @@ class ResizeRead(ReadOp):
             x = _resize_axis_static(src, 1, src_w, dst_w)
             x = _resize_axis_static(x, 0, src_h, dst_h)
             x = x.astype(jnp.float32)  # pure-subsample paths stay integer
-        elif (src_w * dst_w + src_h * dst_h) * 4 <= _MATMUL_WEIGHT_BYTES:
+        elif (src_w * dst_w + src_h * dst_h) * 2 * 4 <= _MATMUL_WEIGHT_BYTES:
+            # x2: _axis_weight_matrices returns TWO (src, dst) f32 matrices
+            # per axis (the split m0/m1 tap pair)
             x = _resize_matmul(src, dst_w, dst_h)
         else:
             i0x, i1x, wx = axis_lerp(jnp.arange(dst_w), src_w, dst_w)

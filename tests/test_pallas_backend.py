@@ -225,3 +225,26 @@ def test_packed_split_ragged_letterbox(rng):
     # letterbox geometry is the non-bf16-exact regime: matmul-vs-lerp product
     # rounding may differ ~1 ulp (the standard float contract applies)
     check_float(packed_p.reshape(6, 3, 128, 64), planar, msg="packed letterbox")
+
+
+def test_bottom_aligned_uniform_crops(rng):
+    """Uniform-geometry crops whose 8-aligned window start CLAMPS at the
+    frame bottom: dy = y0 - (src_h - win_h) exceeds 7 there, so the baked
+    per-dy vertical-matrix table must be sized past 8 entries (a regression
+    guard: an 8-entry table made wv_ref[dy] read out of bounds and use wrong
+    vertical taps for bottom crops)."""
+    frame = rng.integers(0, 256, (512, 768, 3)).astype(np.uint8)
+    # h=64 -> win_h = 72; y0 = 448 gives dy = 448 - (512 - 72) = 8
+    rects = np.array(
+        [[7 * i, 440 + i, 60, 64] for i in range(9)], np.int32
+    )
+    assert rects[:, 1].max() + 64 <= 512
+    ops = [
+        cvgs.resize_batch(frame, rects=rects, dsize=cvgs.Size(*UP)),
+        cvgs.convert_to(np.float32, alpha=0.5),
+        cvgs.split_tensor(),
+    ]
+    pipe = cvgs.build_pipeline(*ops)
+    assert pipe.read.uniform_wh == (60, 64)  # baked-weights path engaged
+    x, p = _both(ops)
+    check_float(p, x, msg="bottom-aligned uniform crops")

@@ -242,3 +242,87 @@ def test_oracle_parity_cv2(rng):
         img.astype(np.float32), (128, 32), interpolation=cv2.INTER_LINEAR
     ) * np.float32(1 / 255.0)
     check_float(p, np.transpose(ref, (2, 0, 1)), msg="frame kernel vs cv2")
+
+
+def test_v_bake_window_invariants():
+    """The chroma-overrun safety argument, as a permanent invariant sweep
+    (hardened from the one-off 41_overrun_probe hardware job): for every
+    band of every plan, the DMA window [rstart, rstart + rows_in) must stay
+    inside the ROW-PADDED allocation (ceil(plane_rows/8)*8 — Mosaic memrefs
+    pad to the sublane tile), every tap must land inside the window, and
+    overrun rows past the logical plane must carry zero weight. Covers the
+    non-8-divisible NV12 chroma branch across geometries, including ones
+    where alignment jitter forces the end-clamp."""
+    from cvgpuspeedup_tpu.exec.pallas_frame import _v_bake
+    from cvgpuspeedup_tpu.ops.resize import axis_lerp_np
+
+    cases = []
+    for src_h in (36, 60, 90, 108, 180, 270, 360, 540, 1080, 2160, 3240):
+        for dst_h in (30, 36, 54, 90, 108, 120, 360, 1080):
+            for R in (2, 4, 6, 8, 10, 12, 30):
+                if dst_h % R:
+                    continue
+                cases.append((src_h, dst_h, R))
+    assert cases
+    n_checked = 0
+    for src_h, dst_h, R in cases:
+        for half in (False, True):
+            if half and src_h % 2:
+                continue
+            v = _v_bake(src_h, dst_h, R, 0, half_of_full=half)
+            if v is None:
+                continue
+            plane_rows = src_h // 2 if half else src_h
+            padded = -(-plane_rows // 8) * 8
+            rows_in = v["rows_in"]
+            iy0, iy1, wy = axis_lerp_np(
+                np.arange(dst_h, dtype=np.int64), src_h, dst_h)
+            if half:
+                iy0, iy1 = iy0 // 2, iy1 // 2
+            for s, r0 in enumerate(np.asarray(v["rstarts"], np.int64)):
+                assert r0 % 8 == 0
+                assert r0 >= 0
+                assert r0 + rows_in <= padded, (
+                    f"window overruns padded allocation: src_h={src_h} "
+                    f"dst_h={dst_h} R={R} half={half} band={s}: "
+                    f"{r0}+{rows_in} > {padded}")
+                q = slice(s * R, (s + 1) * R)
+                assert iy0[q].min() - r0 >= 0 and iy1[q].max() - r0 < rows_in
+                # any window row past the logical plane must have zero weight
+                wv = v["wv"][s]
+                overrun = np.arange(rows_in) + r0 >= plane_rows
+                assert np.all(wv[:, overrun] == 0.0)
+                n_checked += 1
+    assert n_checked > 200
+
+
+def test_auto_gate_small_frame_not_profitable(rng):
+    """ParBackend.AUTO must never route a pipeline into a slower kernel:
+    the frame kernel supports tiny frames but loses ~8x to XLA there
+    (measured 133 vs 17 us on a 64x128 frame — fixed launch overheads), so
+    the profitability gate must exclude them. The 6K NV12 config (5.9x
+    measured win) must pass the gate."""
+    small = rng.integers(0, 256, (128, 128, 3)).astype(np.uint8)
+    pipe_small = cvgs.build_pipeline(
+        cvgs.resize(cvgs.image(small), cvgs.Size(64, 128)),
+        cvgs.convert_to(np.float32, alpha=1 / 255.0),
+        cvgs.split_tensor(),
+    )
+    assert pallas_frame.supports(pipe_small)
+    assert not pallas_frame.profitable(pipe_small)
+
+    buf = rng.integers(0, 256, (3240 * 3 // 2, 5760)).astype(np.uint8)
+    pipe_nv12 = cvgs.build_pipeline(
+        cvgs.resize(
+            cvgs.fuse(
+                cvgs.read_yuv(buf),
+                cvgs.convert_yuv_to_rgb(standard=cvgs.ColorStandard.BT709,
+                                        out_dtype=np.float32),
+            ),
+            cvgs.Size(1920, 1080),
+        ),
+        cvgs.multiply(1 / 255.0),
+        cvgs.split_tensor(),
+    )
+    assert pallas_frame.supports(pipe_nv12)
+    assert pallas_frame.profitable(pipe_nv12)
