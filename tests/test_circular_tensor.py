@@ -126,3 +126,53 @@ def test_circular_tensor_save_load(tmp_path):
     check_float(np.asarray(ct2.tensor), np.asarray(ct.tensor), tol=0)
     ct2.update(cvgs.image(_frame(4)))
     check_float(np.asarray(ct2.tensor[0]).transpose(1, 2, 0), _frame(4))
+
+
+@pytest.mark.parametrize("order", [cvgs.CircularTensorOrder.NEWEST_FIRST,
+                                   cvgs.CircularTensorOrder.OLDEST_FIRST])
+def test_read_batch_zero_copy_head(order):
+    """read_batch(): the rolling-offset ring presented in logical order by a
+    CircularBatchRead at the head of a fused pipeline — no data movement.
+    Checked against .tensor across several wraparounds."""
+    ct = cvgs.CircularTensor(W, H, C, BATCH, order=order)
+    for k in range(1, 11):  # 2.5 wraparounds of a 4-ring
+        ct.update(cvgs.image(_frame(k)), cvgs.multiply(2.0))
+        via_read = np.asarray(cvgs.execute_operations(ct.read_batch()))
+        check_float(via_read, np.asarray(ct.tensor), tol=0,
+                    msg=f"order={order.name} k={k}")
+    # ground truth at k=10, plane 0
+    newest = 10 if order == cvgs.CircularTensorOrder.NEWEST_FIRST else 7
+    check_float(via_read[0].transpose(1, 2, 0), 2.0 * _frame(newest))
+
+
+def test_read_batch_fused_chain():
+    """The ring feeding a fused compute chain + write through the executor
+    (PACKED layout: compute ops are channel-last)."""
+    ct = cvgs.CircularTensor(W, H, C, BATCH, planes=cvgs.ColorPlanes.PACKED)
+    for k in range(1, 6):
+        ct.update(cvgs.image(_frame(k)))
+    out = np.asarray(cvgs.execute_operations(
+        ct.read_batch(), cvgs.subtract((1.0, 2.0, 3.0)), cvgs.split_tensor(),
+    ))
+    assert out.shape == (BATCH, C, H, W)
+    ref = (np.asarray(ct.tensor) - np.array([1.0, 2.0, 3.0])).transpose(0, 3, 1, 2)
+    check_float(out, ref, tol=0)
+
+
+def test_read_batch_transposed_raises():
+    ct = cvgs.CircularTensor(W, H, C, BATCH, planes=cvgs.ColorPlanes.TRANSPOSED)
+    with pytest.raises(ValueError):
+        ct.read_batch()
+
+
+def test_update_writes_one_slot():
+    """The update program must not copy the ring: its output differs from the
+    donated input in exactly one plane slot."""
+    ct = cvgs.CircularTensor(W, H, C, BATCH)
+    for k in range(1, 4):
+        before = np.asarray(ct._ring)
+        ct.update(cvgs.image(_frame(k)))
+        after = np.asarray(ct._ring)
+        changed = [z for z in range(BATCH)
+                   if not np.array_equal(before[z], after[z])]
+        assert changed == [(k - 1) % BATCH]
