@@ -64,6 +64,16 @@ from ..utils import dtypes as dt
 _HIGHEST = jax.lax.Precision.HIGHEST
 _DEFAULT = jax.lax.Precision.DEFAULT
 
+#: scheduling knobs (module-level so benchmark ablations can sweep them):
+#: planes per grid step (first divisor of the batch that fits the ring
+#: budget wins) and window-ring depth (slots; depth-1 steps of DMA prefetch)
+_GROUP_CANDIDATES = (5, 4, 3, 2)
+_RING_SLOTS = 2
+#: benchmark-only kernel ablation (None = real kernel): "floor" = DMA +
+#: trivial write only; "nomassage" = skip the rotate; "nochain" = skip the
+#: pointwise chain. Results are WRONG under any non-None value.
+_ABLATION = None
+
 
 def _exact_bf16_geometry(src_dtype, w_out: int, h_out: int, mode) -> bool:
     """True when the interpolation matmuls can run as single-pass bf16 MXU
@@ -102,8 +112,10 @@ def _n_dy_uniform(win_h: int, h_c: int) -> int:
 
 
 def _lane_align_px(nch: int) -> int:
-    """Pixel alignment such that a pixel offset lands on a 128-lane boundary
-    of the interleaved (W*C) axis: lcm(128, C) / C."""
+    """Pixel alignment such that a pixel count spans whole 128-lane tiles of
+    the interleaved (W*C) axis: lcm(128, C) / C. Used to pad image STACKS
+    (whole planes are DMA'd, so the plane width itself must tile); frame-mode
+    crop windows align their start in lanes instead (see _window_geometry)."""
     import math
 
     return math.lcm(128, nch) // nch
@@ -114,42 +126,49 @@ def _window_geometry(read) -> Optional[dict]:
     does not satisfy the TPU tiling alignment (fallback to XLA then).
 
     DMA slices of a tiled HBM buffer must start on (8 rows, 128 lanes)
-    boundaries, so the window start is rounded down and the residual (dy, dx)
-    shifts the interpolation taps. Standard video dims (720p/1080p/4K/6K) are
-    all aligned; odd sources fall back.
+    boundaries, so the window start is rounded down and the residual
+    (dy rows, dlanes lanes) shifts the interpolation taps. The window start
+    is aligned in LANES, not pixels: a pixel-aligned start (lcm(128, C)/C px)
+    would force a window up to C x wider — for C=3 that is a 768-lane window
+    for a 60 px crop where 384 lanes suffice, i.e. 2x the DMA traffic of the
+    whole kernel. The lane residual is removed by one in-kernel rotate, which
+    also swallows the channel phase of the unaligned start. Standard video
+    dims (720p/1080p/4K/6K) are all aligned; odd sources fall back.
     """
     frame_mode = read.frame is not None
     src = read.frame if frame_mode else read.stack
     nch = int(src.shape[-1])
-    align = _lane_align_px(nch)
     if frame_mode:
         src_h, src_w = int(src.shape[0]), int(src.shape[1])
         maxh = -(-int(read.max_crop_h) // 8) * 8
         maxw = -(-int(read.max_crop_w) // 32) * 32
-        maxw_al = -(-maxw // align) * align
         win_h = maxh + 8
-        win_w = maxw_al + align
-        if src_h % 8 or src_w % align or src_h < win_h or src_w < win_w:
+        # crop lanes (maxw*C, rounded to the 128-lane DMA grain) + 128 lanes
+        # of start-misalignment slack
+        lanes = -(-maxw * nch // 128) * 128 + 128
+        src_lanes = src_w * nch
+        if src_h % 8 or src_lanes % 128 or src_h < win_h or src_lanes < lanes:
             return None
         core_h, core_w = maxh, maxw
     else:
         src_h, src_w = int(src.shape[1]), int(src.shape[2])
-        if src_h % 8 or src_w % align:
+        if src_h % 8 or (src_w * nch) % 128:
             return None
-        win_h, win_w = src_h, src_w
+        win_h = src_h
+        lanes = src_w * nch
+        src_lanes = lanes
         core_h, core_w = src_h, src_w
     # real footprint: 2-slot window ring (lane dim padded to pow2 in frame
     # mode for the rotate) + transient i32/f32 widened copies + interpolation
     # matrices + output tiles; bound it well under the ~16MB VMEM so Mosaic
     # never fails allocation after supports() said yes
-    lanes = win_w * nch
     lanes_alloc = 1 << (lanes - 1).bit_length() if frame_mode else lanes
     window_bytes = 2 * win_h * lanes_alloc * src.dtype.itemsize
     core_bytes = win_h * lanes_alloc * 4 + core_h * core_w * nch * 4
     vmem_bytes = window_bytes + core_bytes
     if vmem_bytes > 6 * 1024 * 1024:
         return None
-    return dict(align=align, win_h=win_h, win_w=win_w, src_h=src_h,
+    return dict(win_h=win_h, lanes=lanes, src_lanes=src_lanes, src_h=src_h,
                 src_w=src_w, core_h=core_h, core_w=core_w)
 
 
@@ -291,7 +310,7 @@ def supports(pipeline) -> bool:
         + geo["core_w"] * nch * nch * w_o * 4  # wh
         + n_dy_est * h_o * geo["win_h"] * 4  # wv (per-dy variants, window rows)
     )
-    window_bytes = 2 * geo["win_h"] * geo["win_w"] * nch * src.dtype.itemsize
+    window_bytes = 2 * geo["win_h"] * geo["lanes"] * src.dtype.itemsize
     core_bytes = 2 * geo["core_h"] * geo["core_w"] * nch * 4
     if window_bytes + core_bytes + body_bytes > 12 * 1024 * 1024:
         return False
@@ -427,10 +446,10 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
     n_planes = read.num_planes
     geo = _window_geometry(read)
     assert geo is not None, "emitter called on unsupported geometry"
-    align = geo["align"]
-    win_h, win_w = geo["win_h"], geo["win_w"]
+    win_h = geo["win_h"]
     core_h, core_w = geo["core_h"], geo["core_w"]
     src_h, src_w = geo["src_h"], geo["src_w"]
+    src_lanes = geo["src_lanes"]
     mode = read.aspect_ratio
 
     out_ch, out_dtype = _chain_out_struct(chain, nch)
@@ -550,11 +569,11 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
             (new_w_c, new_h_c, ox_c, oy_c),
         )
 
-    lanes = win_w * nch
-    # lane rotates (dx residual removal) are only correct for power-of-two
+    lanes = geo["lanes"]
+    # lane rotates (start-residual removal) are only correct for power-of-two
     # lane counts: allocate the window ring padded up; the DMA fills the
-    # real lanes, the rotate+core-slice never reads the pad (j + dx*C <
-    # win_w*C by construction of the window bucket)
+    # real lanes, and the rotate+core-slice never reads the pad (taps stop at
+    # w*C <= lanes - dlanes by construction of the window bucket and clamp)
     lanes_alloc = 1 << (lanes - 1).bit_length() if frame_mode else lanes
 
     # planes per grid step: a single plane's chain (widen -> rotate -> H dot
@@ -564,8 +583,8 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
     # us/batch at P=5 on the flagship; P=10 is no faster and doubles the
     # unrolled program / compile time). Ring footprint bounds P.
     group_p = 1
-    for cand in (5, 4, 3, 2):
-        ring = 2 * cand * win_h * lanes_alloc * src.dtype.itemsize
+    for cand in _GROUP_CANDIDATES:
+        ring = _RING_SLOTS * cand * win_h * lanes_alloc * src.dtype.itemsize
         if n_planes % cand == 0 and ring <= 3 * 1024 * 1024:
             group_p = cand
             break
@@ -641,17 +660,17 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
             """DMA for plane i into ring slot: dynamic window, legal offsets."""
             if frame_mode:
                 # Window start rounds down to the DMA-legal (8-row, 128-lane)
-                # grid; the residual (dy, dx) shifts the interpolation taps.
-                # src dims are aligned (checked in _window_geometry), so the
-                # clamped start stays legal and the window always covers
-                # [y0, y0+h) x [x0, x0+w).
+                # grid; the residual (dy rows, dlanes lanes) shifts the
+                # interpolation taps / rides the lane rotate. src dims are
+                # aligned (checked in _window_geometry), so the clamped start
+                # stays legal and the window always covers the crop's lanes.
                 yi = rect_of(i, 1)
-                xi = rect_of(i, 0)
+                xl = rect_of(i, 0) * nch
                 ys_i = jnp.minimum((yi // 8) * 8, src_h - win_h)
-                xs_i = jnp.minimum((xi // align) * align, src_w - win_w)
+                xs_l = jnp.minimum((xl // 128) * 128, src_lanes - lanes)
                 src_slice = src_ref.at[
                     pl.ds(pl.multiple_of(ys_i, 8), win_h),
-                    pl.ds(pl.multiple_of(xs_i * nch, 128), lanes),
+                    pl.ds(pl.multiple_of(xs_l, 128), lanes),
                 ]
             else:
                 src_slice = src_ref.at[i]
@@ -667,6 +686,24 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
             position `j`). The group_p bodies inside one step are mutually
             independent chains — the scheduler interleaves their VPU and MXU
             work (a single chain leaves one unit idle at every stage)."""
+            if _ABLATION == "floor":
+                # DMA-in + output-write skeleton only (timing ablation): one
+                # scalar read consumes the window, a VPU fill feeds the write
+                v0 = window[slot][0, 0].astype(jnp.float32)
+                hp = h_out // f_pack
+                seg = jnp.full((hp, f_pack * w_out), v0, jnp.float32)
+                if isinstance(write, (TensorSplit, TensorSplitPacked)):
+                    for c in range(out_ch):
+                        out_refs[0][j, c] = seg
+                elif isinstance(write, TensorTSplit):
+                    for c in range(out_ch):
+                        out_refs[0][c, j] = seg
+                elif isinstance(write, (TensorWrite, Write2D)):
+                    out_refs[0][j] = jnp.stack([seg] * out_ch, axis=-1)
+                else:
+                    for c in range(out_ch):
+                        out_refs[c][j] = seg
+                return
             x0 = rect_of(z, 0)
             y0 = rect_of(z, 1)
             if weight_consts is None:
@@ -677,10 +714,12 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
                 new_w, new_h, ox, oy = weight_consts[2]
             if frame_mode:
                 dy = y0 - jnp.minimum((y0 // 8) * 8, src_h - win_h)
-                dx = x0 - jnp.minimum((x0 // align) * align, src_w - win_w)
+                dlanes = x0 * nch - jnp.minimum(
+                    ((x0 * nch) // 128) * 128, src_lanes - lanes
+                )
             else:
                 dy = jnp.int32(0)
-                dx = jnp.int32(0)
+                dlanes = jnp.int32(0)
 
             hf = h_out // f_pack
             if weight_consts is not None:
@@ -709,14 +748,16 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
                 # 32-bit data); widen via int32 first
                 win = win.astype(jnp.int32)
             if frame_mode:
-                # remove the dx residual with a lane rotate + static core
-                # slice. tpu.dynamic_rotate is ONLY correct for power-of-two
-                # axis sizes (measured: lanes 384/640/768 rotate WRONG on
-                # hardware, 128/256/512/1024 right; interpret mode does not
-                # catch it) — hence the pow2-padded window ring. The dy
-                # residual rides the vertical matmul taps instead: window row
-                # counts are not pow2.
-                win = pltpu.roll(win, -dx * nch, 1)
+                # remove the lane-start residual with a lane rotate + static
+                # core slice (this also folds in the channel phase of the
+                # 128-lane-aligned start). tpu.dynamic_rotate is ONLY correct
+                # for power-of-two axis sizes (measured: lanes 384/640/768
+                # rotate WRONG on hardware, 128/256/512/1024 right; interpret
+                # mode does not catch it) — hence the pow2-padded window
+                # ring. The dy residual rides the vertical matmul taps
+                # instead: window row counts are not pow2.
+                if _ABLATION != "nomassage":
+                    win = pltpu.roll(win, -dlanes, 1)
                 win = win[:, : core_w * nch]
 
             if exact_bf16:
@@ -788,7 +829,8 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
                         segs[0] if f_pack == 1 else jnp.concatenate(segs, axis=1)
                     )
 
-            planes = _apply_chain_planar(chain_k, planes)
+            if _ABLATION != "nochain":
+                planes = _apply_chain_planar(chain_k, planes)
 
             if isinstance(write, (TensorSplit, TensorSplitPacked)):
                 for c, p in enumerate(planes):
@@ -802,27 +844,32 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
                 for c, p in enumerate(planes):
                     out_refs[c][j] = p
 
-        # double-buffered crop-window pipeline across grid steps: step s
-        # waits on the group DMAs issued at step s-1 while s+1's fly
+        # ring-buffered crop-window pipeline across grid steps: step s waits
+        # on the group DMAs issued RING_SLOTS-1 steps earlier while later
+        # steps' windows fly
+        n_slots = _RING_SLOTS
+
         @pl.when(s == 0)
         def _():
-            for j in range(group_p):
-                plane_dma(j, j).start()
+            for d in range(min(n_slots - 1, steps)):
+                for j in range(group_p):
+                    plane_dma(d * group_p + j, (d % n_slots) * group_p + j).start()
 
-        @pl.when(s + 1 < steps)
+        @pl.when(s + n_slots - 1 < steps)
         def _():
             for j in range(group_p):
                 plane_dma(
-                    (s + 1) * group_p + j, ((s + 1) % 2) * group_p + j
+                    (s + n_slots - 1) * group_p + j,
+                    ((s + n_slots - 1) % n_slots) * group_p + j,
                 ).start()
 
         # ALL the group's waits come before ANY body: a semaphore wait is a
         # scheduling barrier, so interleaving wait->body per plane would
         # re-serialize the independent chains (measured 38 vs 23 us/batch)
         for j in range(group_p):
-            plane_dma(s * group_p + j, (s % 2) * group_p + j).wait()
+            plane_dma(s * group_p + j, (s % n_slots) * group_p + j).wait()
         for j in range(group_p):
-            plane_body(s * group_p + j, (s % 2) * group_p + j, j)
+            plane_body(s * group_p + j, (s % n_slots) * group_p + j, j)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
     extra_inputs = []
@@ -842,8 +889,8 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
         in_specs=in_specs,
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((2 * group_p, win_h, lanes_alloc), src.dtype),
-            pltpu.SemaphoreType.DMA((2 * group_p,)),
+            pltpu.VMEM((_RING_SLOTS * group_p, win_h, lanes_alloc), src.dtype),
+            pltpu.SemaphoreType.DMA((_RING_SLOTS * group_p,)),
         ],
     )
 

@@ -146,12 +146,30 @@ def _v_bake(src_h: int, dst_h: int, R: int, row_offset: int,
         np.add.at(wv[s], (rows, iy0[q] - rstarts[s]), np.float32(1.0) - wy[q])
         np.add.at(wv[s], (rows, iy1[q] - rstarts[s]), wy[q])
     frac = bool(np.any((wy != 0.0) & (wy != 1.0)))
+    # SELECTION fast path: all-zero weights + arithmetic tap progression +
+    # the same start offset in every band window. The vertical pass then
+    # lowers to one static strided sublane slice of the window (no matmul,
+    # and only the R selected rows get widened) — the 3:1 video ratios all
+    # qualify. Requires band windows at a constant phase: tap[s*R] - rstart_s
+    # identical across bands (automatic when (stride*R) % 8 == 0 and no
+    # start ever clamps).
+    sel = None
+    if not frac:
+        taps = iy0.copy()
+        taps[wy == 1.0] = iy1[wy == 1.0]
+        d = np.diff(taps)
+        if dst_h == 1 or (d.min() == d.max() and d.min() >= 1):
+            stride = int(d[0]) if dst_h > 1 else 1
+            offs = {int(taps[s * R] - rstarts[s]) for s in range(n_bands)}
+            if len(offs) == 1:
+                sel = dict(offset=offs.pop(), stride=stride)
     return dict(
         rows_in=rows_in,
         rstarts=np.asarray(rstarts, np.int32) + np.int32(row_offset),
         wv=wv,
         frac_v=frac,
         wy=wy,
+        sel=sel,
     )
 
 
@@ -339,12 +357,18 @@ def _build_plan(pipeline) -> Optional[dict]:
     if h_uv is not None:
         weight_sets.append(h_uv["wx"])
 
-    # vertical plan: largest band height R (| dst_h) fitting the VMEM budget
+    # vertical plan: pick the band height R (| dst_h) by a work model, not
+    # just "largest that fits" — on a selection-ratio V-first plan the
+    # vertical matmul flops GROW with R (K ~ stride*R per band x all bands),
+    # while the per-band overheads shrink, and the selection fast path
+    # (vertical pass = one strided slice, only R rows widened) changes the
+    # balance again. Feasibility still requires the VMEM budget.
     out_itemsize = jnp.dtype(out_dtype).itemsize
     wh_bytes = h_y["wh"].nbytes + (h_uv["wh"].nbytes if h_uv else 0)
     chosen = None
+    best_score = None
     row_align = max(1, 32 // out_itemsize)  # output block sublane tiling
-    for R in sorted((d for d in _divisors(dst_h) if d <= 256), reverse=True):
+    for R in sorted(d for d in _divisors(dst_h) if d <= 256):
         if R % row_align:
             continue
         v_y = _v_bake(src_h, dst_h, R, 0)
@@ -364,9 +388,23 @@ def _build_plan(pipeline) -> Optional[dict]:
         trans = v_y["rows_in"] * lanes_total * 4 + 2 * R * lanes_total * 4
         if v_uv is not None:
             trans += v_uv["rows_in"] * lanes_total * 4
-        if ring + out_blk + wv_blk + wh_bytes + trans <= _VMEM_BUDGET:
+        if ring + out_blk + wv_blk + wh_bytes + trans > _VMEM_BUDGET:
+            continue
+        n_bands_r = dst_h // R
+        # units ~ VPU element-ops (~4e12/s): a grid step's DMA-issue/wait
+        # overhead is ~1 us => ~4M units
+        score = n_bands_r * 4_000_000
+        for part, nl in ((v_y, lanes_total), (v_uv, lanes_total)):
+            if part is None:
+                continue
+            if part["sel"] is not None:
+                score += dst_h * nl * 2            # widen R rows/band only
+            else:
+                score += n_bands_r * part["rows_in"] * nl * 2      # widen
+                score += n_bands_r * R * part["rows_in"] * nl // 8  # V matmul
+        if best_score is None or score < best_score:
+            best_score = score
             chosen = (R, v_y, v_uv)
-            break
     if chosen is None:
         return None
     R, v_y, v_uv = chosen
@@ -393,7 +431,7 @@ def _build_plan(pipeline) -> Optional[dict]:
         part = dict(rows_in=vp["rows_in"], rstarts=vp["rstarts"],
                     T=hp["T"], n_tiles=hp["n_tiles"], span=hp["span"],
                     lane_starts=hp["lane_starts"], var_ids=hp["var_ids"],
-                    frac_v=vp["frac_v"], frac_h=hp["frac_h"])
+                    frac_v=vp["frac_v"], frac_h=hp["frac_h"], sel=vp["sel"])
         wv, wh = vp["wv"], hp["wh"]
         # Dekker: a fractional first pass yields 16-bit-significand values;
         # the second pass consumes [hi; lo] via a K-duplicated matrix
@@ -569,7 +607,12 @@ def _emit_frame_resize(pipeline, plan: dict, *, interpret: bool):
     weight_inputs = []
     weight_specs = []
     for p in parts:
-        wv = jnp.asarray(p["wv"])
+        if p["sel"] is not None:
+            # selection parts never touch wv — feed a 1-element placeholder
+            # instead of fetching an (R, rows_in) block every band
+            wv = jnp.zeros((plan["n_bands"], 1, 1), jnp.float32)
+        else:
+            wv = jnp.asarray(p["wv"])
         weight_inputs.append(wv)
         weight_specs.append(
             pl.BlockSpec((1,) + wv.shape[1:], lambda s, *_: (s, 0, 0))
@@ -664,11 +707,34 @@ def _emit_frame_resize(pipeline, plan: dict, *, interpret: bool):
             p = parts[pi]
             wv = wrefs[2 * pi][0]        # (R, rows_in[*2])
             wh_ref = wrefs[2 * pi + 1]   # (n_var, span[*2], cols)
+            T = p["T"]
+            if p["sel"] is not None:
+                # vertical SELECTION fast path: the pass is one static
+                # strided sublane slice of the window — no matmul, and only
+                # the R selected rows are widened (1/stride of the work).
+                # Bitwise identical to selecting after the horizontal matmul
+                # (rows are independent under H), hence to the XLA path.
+                off, stp = p["sel"]["offset"], p["sel"]["stride"]
+                win = windows[pi][s % 2]
+                vsel = win[off : off + stp * (R - 1) + 1 : stp]
+                if dt.is_integer(vsel.dtype):
+                    vsel = vsel.astype(jnp.int32)
+                vsel = vsel.astype(wdt)
+                tiles = []
+                for t in range(p["n_tiles"]):
+                    ls = p["lane_starts"][t]
+                    tiles.append(_dot(vsel[:, ls:ls + p["span"]],
+                                      wh_ref[p["var_ids"][t]]))
+                planes = []
+                for c in range(len_ch(pi)):
+                    segs = [tl[:, c * T:(c + 1) * T] for tl in tiles]
+                    planes.append(segs[0] if len(segs) == 1
+                                  else jnp.concatenate(segs, axis=1))
+                return planes
             win = windows[pi][s % 2]
             if dt.is_integer(win.dtype):
                 win = win.astype(jnp.int32)  # no direct u8->f32/bf16 cast
             win = win.astype(wdt)
-            T = p["T"]
             tiles = []
             if order == "v":
                 v_full = _dot(wv, win)
