@@ -374,6 +374,7 @@ def warp(
             nch = 1
         else:
             nch = int(source.shape[-1])
+    from .exec.pallas_warp import scale_buckets
     from .ops.warp import decompose_inverse_map
 
     terms = decompose_inverse_map(inv, dsize)
@@ -382,6 +383,7 @@ def warp(
         default=_dt.as_channel_vector(default, nch, np.float32),
         dsize=dsize,
         warp_type=warp_type,
+        sep_buckets=scale_buckets(inv) if warp_type == WarpType.AFFINE else None,
         **terms,
     )
 

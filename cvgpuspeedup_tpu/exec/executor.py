@@ -148,15 +148,17 @@ def clear_cache() -> None:
 
 def _lower_with_backend(pipeline: Pipeline, backend: ParBackend):
     if backend in (ParBackend.PALLAS, ParBackend.PALLAS_INTERPRET):
-        from . import pallas_backend, pallas_frame
+        from . import pallas_backend, pallas_frame, pallas_warp
 
         interpret = backend == ParBackend.PALLAS_INTERPRET
         lowered = pallas_backend.try_lower(pipeline, interpret=interpret)
         if lowered is None:
             lowered = pallas_frame.try_lower(pipeline, interpret=interpret)
+        if lowered is None:
+            lowered = pallas_warp.try_lower(pipeline, interpret=interpret)
         if lowered is not None:
             return lowered
-        # fall through: pattern not supported by either Pallas emitter
+        # fall through: pattern not supported by any Pallas emitter
     return pipeline.lower()
 
 
@@ -166,12 +168,13 @@ def _resolve_auto(pipeline: Pipeline) -> ParBackend:
     lose to XLA on small sources (measured 133 vs 17 us on a 64x128 frame),
     so AUTO applies its profitability gate. An explicit ParBackend.PALLAS
     request bypasses the gate (``_lower_with_backend`` honors it as-is)."""
-    from . import pallas_backend, pallas_frame
+    from . import pallas_backend, pallas_frame, pallas_warp
 
     backend = jax.default_backend()
     if backend == "tpu" and (
         pallas_backend.supports(pipeline)
         or (pallas_frame.supports(pipeline) and pallas_frame.profitable(pipeline))
+        or (pallas_warp.supports(pipeline) and pallas_warp.profitable(pipeline))
     ):
         return ParBackend.PALLAS
     return ParBackend.XLA
@@ -223,7 +226,7 @@ def build_operation_sequence(*iops: IOp) -> Pipeline:
 def launch_divergent_batch(
     selector: Callable[[int], int],
     *sequences: Pipeline,
-    backend: ParBackend = ParBackend.XLA,
+    backend: ParBackend = ParBackend.AUTO,
 ):
     """Run different op sequences on different planes of one batch.
 
@@ -236,8 +239,13 @@ def launch_divergent_batch(
     layout of the first sequence is applied to the merged batch.
 
     A precomputed per-plane id sequence may be passed instead of a callable.
-    ``backend`` is reserved: per-plane sequences currently always lower
-    through the XLA path (a fused divergent Pallas kernel is future work).
+
+    Lowering: on TPU (or under explicit PALLAS backends) supported patterns
+    run as ONE fused Pallas kernel whose grid covers the planes, each grid
+    step executing its plane's sequence — the reference's single
+    ``launchDivergentBatchTransformDPP_Kernel``. Other patterns lower
+    through the XLA path: per-group region computations + scatter merge,
+    still one jitted program.
     """
     if not sequences:
         raise ValueError("need at least one operation sequence")
@@ -260,7 +268,23 @@ def launch_divergent_batch(
         if not 1 <= sid <= len(seqs):
             raise ValueError(f"selector({z}) = {sid} out of range")
 
+    from . import pallas_divergent
+
+    if _debug_active() and backend in (ParBackend.AUTO, ParBackend.PALLAS):
+        backend = ParBackend.PALLAS_INTERPRET
+    use_pallas = backend in (ParBackend.PALLAS, ParBackend.PALLAS_INTERPRET) or (
+        backend == ParBackend.AUTO and jax.default_backend() == "tpu"
+    )
+    use_pallas = use_pallas and pallas_divergent.supports(seqs, plane_ids)
+    interpret = backend == ParBackend.PALLAS_INTERPRET
+
     def run(seq_list):
+        if use_pallas:
+            out = pallas_divergent.try_lower(
+                seq_list, plane_ids, interpret=interpret
+            )
+            if out is not None:
+                return seq_list[0].write.write(out)
         # group planes by sequence id at trace time (the selector is static,
         # like the reference's constexpr SequenceSelector::at) so each
         # sequence computes ONLY its own planes, then scatter back in order
@@ -281,7 +305,7 @@ def launch_divergent_batch(
         return seq_list[0].write.write(merged)
 
     leaves, treedef = jax.tree_util.tree_flatten(seqs)
-    key = (treedef, "divergent", plane_ids, backend)
+    key = (treedef, "divergent", plane_ids, backend, use_pallas)
     fn = _CACHE.get(key)
     if fn is None:
 

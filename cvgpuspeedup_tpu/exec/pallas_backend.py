@@ -688,8 +688,10 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
             work (a single chain leaves one unit idle at every stage)."""
             if _ABLATION == "floor":
                 # DMA-in + output-write skeleton only (timing ablation): one
-                # scalar read consumes the window, a VPU fill feeds the write
-                v0 = window[slot][0, 0].astype(jnp.float32)
+                # tiny read consumes the window, a VPU fill feeds the write
+                # (u8 scalars can't extract directly — widen a tile first)
+                v0 = window[slot][:8, :128].astype(jnp.int32)[0, 0].astype(
+                    jnp.float32)
                 hp = h_out // f_pack
                 seg = jnp.full((hp, f_pack * w_out), v0, jnp.float32)
                 if isinstance(write, (TensorSplit, TensorSplitPacked)):

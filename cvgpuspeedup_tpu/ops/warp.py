@@ -115,6 +115,13 @@ class WarpRead(ReadOp):
     default: jnp.ndarray  # per-channel border value, float32
     dsize: Size = static_field()
     warp_type: WarpType = static_field()
+    # Static pow2 magnitude buckets (|a|, |e|) when the inverse map is
+    # separable (no cross terms, positive scales) — set by the factory from
+    # the concrete matrix. They size the Pallas warp kernel's static DMA
+    # window extents; matrix VALUES stay runtime leaves, so any matrix whose
+    # scales stay in the same buckets reuses the compiled kernel. None means
+    # non-separable (rotation/shear/perspective): XLA lowering only.
+    sep_buckets: object = static_field(default=None)
 
     def lower(self) -> jnp.ndarray:
         src = self.source.lower().astype(jnp.float32)

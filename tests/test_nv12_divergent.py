@@ -207,3 +207,45 @@ def test_nv21_planespace_resize_parity(rng):
                     cvgs.convert_yuv_to_rgb(out_dtype=np.float32))
     ref = np.asarray(cvgs.execute_operations(cvgs.resize(v21, cvgs.Size(48, 32))))
     check_float(out, ref, msg="NV21 plane-space")
+
+
+def test_divergent_pallas_kernel_parity(rng):
+    """The single-launch fused divergent kernel (exec/pallas_divergent.py)
+    vs the XLA scatter-merge lowering: same results for mixed image +
+    circular reads with per-channel chains, across ring rotations."""
+    from cvgpuspeedup_tpu.exec import pallas_divergent
+
+    n = 6
+    a = rng.integers(0, 200, (n, 16, 128, 3)).astype(np.float32)
+    b = rng.integers(0, 200, (n, 16, 128, 3)).astype(np.uint8)
+    for first in (0, 3):
+        seq1 = cvgs.build_operation_sequence(
+            cvgs.circular_batch_read(a, first=first),
+            cvgs.multiply((2.0, 0.5, 1.0)),
+            cvgs.add(1.0),
+        )
+        seq2 = cvgs.build_operation_sequence(
+            cvgs.image(b), cvgs.convert_to(np.float32, alpha=0.25)
+        )
+        ids = [1, 2, 2, 1, 2, 1]
+        assert pallas_divergent.supports([seq1, seq2], ids)
+        x = np.asarray(cvgs.launch_divergent_batch(
+            ids, seq1, seq2, backend=cvgs.ParBackend.XLA))
+        p = np.asarray(cvgs.launch_divergent_batch(
+            ids, seq1, seq2, backend=cvgs.ParBackend.PALLAS_INTERPRET))
+        assert x.shape == p.shape == (n, 16, 128, 3)
+        check_float(p, x, tol=0, msg=f"divergent pallas vs xla first={first}")
+
+
+def test_divergent_pallas_unsupported_falls_back(rng):
+    """Planar writes / reordering chains route to the XLA lowering."""
+    from cvgpuspeedup_tpu.exec import pallas_divergent
+
+    data = rng.integers(0, 200, (4, 16, 128, 3)).astype(np.float32)
+    seq_split = cvgs.build_operation_sequence(
+        cvgs.image(data), cvgs.split_tensor())
+    assert not pallas_divergent.supports([seq_split], [1, 1, 1, 1])
+    # still runs (XLA path) under any backend
+    out = np.asarray(cvgs.launch_divergent_batch(
+        [1, 1, 1, 1], seq_split, backend=cvgs.ParBackend.PALLAS_INTERPRET))
+    assert out.shape == (4, 3, 16, 128)

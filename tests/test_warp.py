@@ -146,3 +146,112 @@ def test_warp_batch_factory(rng):
     check_float(out[1], _np_warp_affine(imgs[1], mats[1], (40, 40)), tol=1e-4,
                 msg="warp_batch plane 1")
     assert np.all(out[2] == 3.0)
+
+
+# --- Pallas warp kernel (separable affine; exec/pallas_warp.py) -----------
+
+
+def _warp_both(ops):
+    x = np.asarray(cvgs.execute_operations(*ops, backend=cvgs.ParBackend.XLA))
+    p = np.asarray(
+        cvgs.execute_operations(*ops, backend=cvgs.ParBackend.PALLAS_INTERPRET)
+    )
+    return x, p
+
+
+def test_pallas_warp_translation(rng):
+    """The reference's own affine test class (pure translation,
+    test_warping_opencv.cu:92-107) through the Pallas kernel."""
+    from cvgpuspeedup_tpu.exec import pallas_warp
+
+    img = rng.integers(0, 256, (96, 128, 3)).astype(np.uint8)
+    m = np.array([[1.0, 0.0, 17.0], [0.0, 1.0, -9.0]])
+    ops = [
+        cvgs.warp(img, m, cvgs.Size(128, 96)),
+        cvgs.multiply(0.5),
+        cvgs.split_tensor(),
+    ]
+    pipe = cvgs.build_pipeline(*ops)
+    assert pipe.read.sep_buckets is not None
+    assert pallas_warp.supports(pipe)
+    x, p = _warp_both(ops)
+    assert x.shape == p.shape == (3, 96, 128)
+    check_float(p, x, msg="pallas warp translation vs xla")
+
+
+def test_pallas_warp_scale_translate_border(rng):
+    """Axis-aligned scale + translation with nonzero border value: samples
+    off all four source edges exercise the factored border-weight path."""
+    from cvgpuspeedup_tpu.exec import pallas_warp
+
+    img = rng.integers(0, 256, (64, 128, 3)).astype(np.uint8)
+    m = np.array([[0.7, 0.0, -20.0], [0.0, 1.3, 30.0]])
+    ops = [
+        cvgs.warp(img, m, cvgs.Size(128, 64), default=(9.0, 8.0, 7.0)),
+        cvgs.split_tensor(),
+    ]
+    pipe = cvgs.build_pipeline(*ops)
+    assert pallas_warp.supports(pipe)
+    x, p = _warp_both(ops)
+    check_float(p, x, msg="pallas warp scale+translate+border vs xla")
+
+
+def test_pallas_warp_matrix_values_reuse_program(rng):
+    """Two same-bucket matrices must produce the same pipeline treedef
+    (values are runtime leaves — matrix jitter never recompiles)."""
+    import jax as _jax
+
+    img = rng.integers(0, 256, (64, 96, 3)).astype(np.uint8)
+    pipes = [
+        cvgs.build_pipeline(
+            cvgs.warp(img, np.array([[1.0, 0.0, t], [0.0, 1.0, -t]]),
+                      cvgs.Size(96, 64)),
+            cvgs.split_tensor(),
+        )
+        for t in (3.0, 11.0)
+    ]
+    t0 = _jax.tree_util.tree_structure(pipes[0])
+    t1 = _jax.tree_util.tree_structure(pipes[1])
+    assert t0 == t1
+
+
+def test_pallas_warp_fallbacks(rng):
+    """Rotations and perspective stay on the XLA path."""
+    from cvgpuspeedup_tpu.exec import pallas_warp
+
+    img = rng.integers(0, 256, (64, 96, 3)).astype(np.uint8)
+    rot = cv2.getRotationMatrix2D((48, 32), 15.0, 1.0)
+    pipe = cvgs.build_pipeline(
+        cvgs.warp(img, rot, cvgs.Size(96, 64)), cvgs.split_tensor()
+    )
+    assert pipe.read.sep_buckets is None
+    assert not pallas_warp.supports(pipe)
+    persp = np.array([[1.0, 0.02, 3.0], [0.01, 1.0, -2.0], [1e-4, 2e-4, 1.0]])
+    pipe2 = cvgs.build_pipeline(
+        cvgs.warp(img, persp, cvgs.Size(96, 64),
+                  warp_type=cvgs.WarpType.PERSPECTIVE),
+        cvgs.split_tensor(),
+    )
+    assert not pallas_warp.supports(pipe2)
+    # and the interpret backend still runs them (XLA fallback, same numbers)
+    x, p = _warp_both([cvgs.warp(img, rot, cvgs.Size(96, 64)), cvgs.split_tensor()])
+    check_float(p, x, tol=0, msg="rotation fallback identical")
+
+
+def test_pallas_warp_identity_upscale_band_tiles(rng):
+    """Multi-band x multi-tile geometry with an upscale (a, e < 1)."""
+    from cvgpuspeedup_tpu.exec import pallas_warp
+
+    img = rng.integers(0, 256, (96, 256, 3)).astype(np.uint8)
+    m = np.array([[2.0, 0.0, 5.0], [0.0, 2.0, 3.0]])  # forward 2x upscale
+    ops = [
+        cvgs.warp(img, m, cvgs.Size(512, 192)),
+        cvgs.convert_to(np.float32, alpha=1 / 255.0),
+        cvgs.split_tensor(),
+    ]
+    pipe = cvgs.build_pipeline(*ops)
+    assert pallas_warp.supports(pipe)
+    plan = pallas_warp._plan(pipe)
+    assert plan["n_bands"] > 1 and plan["n_tiles"] > 1
+    x, p = _warp_both(ops)
+    check_float(p, x, msg="pallas warp 2x upscale vs xla")
