@@ -196,8 +196,12 @@ def _emit(plane_ids, infos, *, interpret: bool):
         for info in infos
     ]
 
-    out_shape = jax.ShapeDtypeStruct((n, h, w, c), out_dtype)
-    out_spec = pl.BlockSpec((1, h, w, c), lambda z, *_: (z, 0, 0, 0))
+    # the kernel computes interleaved (h, lanes) rows; Mosaic cannot shape-
+    # cast (h, w*c) -> (h, w, c) in-kernel (hardware rejects the tpu.reshape
+    # that interpret mode accepted), so the lane split happens AFTER the
+    # pallas call — XLA folds it into the output layout
+    out_shape = jax.ShapeDtypeStruct((n, h, lanes), out_dtype)
+    out_spec = pl.BlockSpec((1, h, lanes), lambda z, *_: (z, 0, 0))
 
     def kernel(gid_ref, first_ref, fp_ref, *rest):
         src_refs = rest[: len(srcs)]
@@ -274,7 +278,7 @@ def _emit(plane_ids, infos, *, interpret: bool):
                     x = x.astype(jnp.int32)
                 x = x.astype(jnp.float32)
                 x = run_chain(gi, x)
-                out_ref[0] = x.astype(out_dtype).reshape(h, w, c)
+                out_ref[0] = x.astype(out_dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -292,10 +296,11 @@ def _emit(plane_ids, infos, *, interpret: bool):
         bytes_accessed=n * h * lanes * (1 + out_dtype.itemsize),
         transcendentals=0,
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
         cost_estimate=cost,
     )(gids, firsts, fparams, *srcs)
+    return jnp.reshape(out, (n, h, w, c))

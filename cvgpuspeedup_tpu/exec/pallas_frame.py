@@ -146,31 +146,21 @@ def _v_bake(src_h: int, dst_h: int, R: int, row_offset: int,
         np.add.at(wv[s], (rows, iy0[q] - rstarts[s]), np.float32(1.0) - wy[q])
         np.add.at(wv[s], (rows, iy1[q] - rstarts[s]), wy[q])
     frac = bool(np.any((wy != 0.0) & (wy != 1.0)))
-    # SELECTION fast path: all-zero weights + arithmetic tap progression.
-    # The vertical pass is then a pure row gather, which the emitter turns
-    # into RESHAPED-SELECTION: viewing the source as (rows/stride,
-    # stride*lanes), tap row ``stride*q + tap0`` becomes contiguous row
-    # ``q + tap0//stride`` at static lane block ``tap0 % stride`` — so the
-    # band DMA fetches ONLY the selected rows (1/stride of the traffic), no
-    # vertical matmul runs, and only R rows/band get widened. (An in-kernel
-    # strided sublane slice is NOT an option: Mosaic lowers it as an
-    # unsupported gather — found on hardware.) Feasibility of the reshape
-    # (alignment, bounds, stride | buffer rows) is checked in _build_plan;
-    # infeasible selection plans keep the one-hot matmul path.
-    sel = None
-    if not frac:
-        taps = iy0.copy()
-        taps[wy == 1.0] = iy1[wy == 1.0]
-        d = np.diff(taps)
-        if dst_h > 1 and d.min() == d.max() and d.min() >= 1:
-            sel = dict(stride=int(d[0]), tap0=int(taps[0]))
+    # NOTE on selection ratios (all-zero weights, e.g. 3:1 video configs):
+    # the vertical one-hot matmul IS the row selection, and it is the ONLY
+    # Mosaic-lowerable way to do it. Two alternatives were built and measured
+    # WORSE on hardware: an in-kernel strided sublane slice (Mosaic rejects
+    # it as an unsupported gather), and a host-side (rows/stride,
+    # stride*lanes) reshape of the source so bands could DMA only selected
+    # rows — HBM arrays are (8,128)-tiled, so that reshape is NOT a metadata
+    # alias: XLA materializes a full relayout copy of the source per call
+    # (measured 1828 us vs 115 us XLA on the 1080p config).
     return dict(
         rows_in=rows_in,
         rstarts=np.asarray(rstarts, np.int32) + np.int32(row_offset),
         wv=wv,
         frac_v=frac,
         wy=wy,
-        sel=sel,
     )
 
 
@@ -247,30 +237,6 @@ def _h_bake(src_w: int, dst_w: int, nch: int, lanes_total: int,
         if best is None or cand["score"] < best["score"]:
             best = cand
     return best
-
-
-def _resel_of(vp, R: int, plane_rows: int, row_offset: int, total_rows: int,
-              dst_h: int) -> Optional[dict]:
-    """Validate RESHAPED-SELECTION for a part at band height R (see _v_bake):
-    returns the per-band row-start table in reshaped coordinates plus the
-    static lane block, or None when alignment/bounds fail (matmul path)."""
-    sel = vp["sel"]
-    if sel is None:
-        return None
-    stride, tap0 = sel["stride"], sel["tap0"]
-    if R % 8 or total_rows % stride or row_offset % stride:
-        return None
-    k0, c0 = tap0 // stride, tap0 % stride
-    if tap0 < 0 or dst_h + k0 > plane_rows // stride:
-        return None
-    base = row_offset // stride + k0
-    if base % 8:
-        return None
-    n_bands = dst_h // R
-    return dict(
-        stride=stride, c0=c0,
-        rstarts=(base + np.arange(n_bands, dtype=np.int64) * R).astype(np.int32),
-    )
 
 
 def _plan_key(pipeline):
@@ -383,11 +349,9 @@ def _build_plan(pipeline) -> Optional[dict]:
         weight_sets.append(h_uv["wx"])
 
     # vertical plan: pick the band height R (| dst_h) by a work model, not
-    # just "largest that fits" — on a selection-ratio V-first plan the
-    # vertical matmul flops GROW with R (K ~ stride*R per band x all bands),
-    # while the per-band overheads shrink, and the selection fast path
-    # (vertical pass = one strided slice, only R rows widened) changes the
-    # balance again. Feasibility still requires the VMEM budget.
+    # just "largest that fits" — the per-band overheads shrink with R while
+    # the widen/matmul work grows with the window height. Feasibility still
+    # requires the VMEM budget.
     out_itemsize = jnp.dtype(out_dtype).itemsize
     wh_bytes = h_y["wh"].nbytes + (h_uv["wh"].nbytes if h_uv else 0)
     chosen = None
@@ -419,29 +383,17 @@ def _build_plan(pipeline) -> Optional[dict]:
         # units ~ VPU element-ops (~4e12/s): a grid step's DMA-issue/wait
         # overhead is ~1 us => ~4M units
         score = n_bands_r * 4_000_000
-        resels = []
-        for part, roff, prows in (
-            (v_y, 0, src_h),
-            (v_uv, src_h, src_h // 2),
-        ):
+        for part in (v_y, v_uv):
             if part is None:
-                resels.append(None)
                 continue
-            resel = _resel_of(part, R, prows, roff,
-                              int(src.shape[0]), dst_h)
-            resels.append(resel)
-            if resel is not None:
-                # DMA fetches only the selected rows; no V matmul
-                score += dst_h * lanes_total * 3   # dma + widen, R rows/band
-            else:
-                score += n_bands_r * part["rows_in"] * lanes_total * 3
-                score += n_bands_r * R * part["rows_in"] * lanes_total // 8
+            score += n_bands_r * part["rows_in"] * lanes_total * 3
+            score += n_bands_r * R * part["rows_in"] * lanes_total // 8
         if best_score is None or score < best_score:
             best_score = score
-            chosen = (R, v_y, v_uv, resels)
+            chosen = (R, v_y, v_uv)
     if chosen is None:
         return None
-    R, v_y, v_uv, resels = chosen
+    R, v_y, v_uv = chosen
 
     for part in (v_y, v_uv):
         if part is not None:
@@ -459,16 +411,13 @@ def _build_plan(pipeline) -> Optional[dict]:
     # XLA path's association
     order = ("v" if v_y["rows_in"] > R else "h") if exact else "h"
 
-    def finish(vp, hp, resel):
+    def finish(vp, hp):
         if vp is None:
             return None
         part = dict(rows_in=vp["rows_in"], rstarts=vp["rstarts"],
                     T=hp["T"], n_tiles=hp["n_tiles"], span=hp["span"],
                     lane_starts=hp["lane_starts"], var_ids=hp["var_ids"],
-                    frac_v=vp["frac_v"], frac_h=hp["frac_h"], resel=resel)
-        if resel is not None:
-            part["rows_in"] = None  # window is (R, lanes) in reshaped space
-            part["rstarts"] = resel["rstarts"]
+                    frac_v=vp["frac_v"], frac_h=hp["frac_h"])
         wv, wh = vp["wv"], hp["wh"]
         # Dekker: a fractional first pass yields 16-bit-significand values;
         # the second pass consumes [hi; lo] via a K-duplicated matrix
@@ -493,8 +442,8 @@ def _build_plan(pipeline) -> Optional[dict]:
         dst_w=dst_w, dst_h=dst_h, R=R, n_bands=dst_h // R,
         out_ch=out_ch, out_dtype=jnp.dtype(out_dtype),
         chain_in_ch=chain_in_ch, exact=exact, order=order,
-        y=finish(v_y, h_y, resels[0]),
-        uv=finish(v_uv, h_uv, resels[1]) if h_uv else None,
+        y=finish(v_y, h_y),
+        uv=finish(v_uv, h_uv) if h_uv else None,
     )
     if conv is not None:
         kr, kb = _KR_KB[conv.standard]
@@ -606,38 +555,17 @@ def _emit_frame_resize(pipeline, plan: dict, *, interpret: bool):
     else:
         src2d = read._commuted_source()[0].buffer
 
-    # per-band window row starts (reshaped coordinates for resel parts),
-    # one i32 column per part
+    # per-band window row starts, one i32 column per part
     rstarts = np.stack([p["rstarts"] for p in parts], axis=1)  # (n_bands, P)
 
     # A bottom band of a non-8-divisible plane overruns the logical rows into
     # the tiled memref's row padding (hardware-validated, see _v_bake). The
     # interpreter has no such padding — its dynamic slices clamp, which would
     # silently shift the window — so pad the source there (test path only).
-    # source views: the plain 2D buffer, plus one (rows/stride,
-    # stride*lanes) reshape per distinct resel stride. The reshape is
-    # metadata-compatible with the dense row-major buffer, so XLA aliases
-    # rather than copies; the reshaped view lets each band's DMA fetch ONLY
-    # its selected rows as a contiguous row range x one static lane block.
-    # (Views are taken BEFORE any interpret-mode padding — resel parts are
-    # bounds-checked in _resel_of and never overrun.)
     srcs = [src2d]
-    src_idx = []
-    view_of_stride = {}
     total_rows = int(src2d.shape[0])
-    for p in parts:
-        if p["resel"] is None:
-            src_idx.append(0)
-            continue
-        stp = p["resel"]["stride"]
-        if stp not in view_of_stride:
-            view_of_stride[stp] = len(srcs)
-            srcs.append(jnp.reshape(src2d, (total_rows // stp, stp * lanes)))
-        src_idx.append(view_of_stride[stp])
-
     if interpret:
-        ends = [int(p["rstarts"].max()) + p["rows_in"]
-                for p in parts if p["resel"] is None]
+        ends = [int(p["rstarts"].max()) + p["rows_in"] for p in parts]
         if ends and max(ends) > total_rows:
             srcs[0] = jnp.pad(
                 srcs[0], ((0, max(ends) - total_rows), (0, 0))
@@ -666,12 +594,7 @@ def _emit_frame_resize(pipeline, plan: dict, *, interpret: bool):
     weight_inputs = []
     weight_specs = []
     for p in parts:
-        if p["resel"] is not None:
-            # selection parts never touch wv — feed a 1-element placeholder
-            # instead of fetching an (R, rows_in) block every band
-            wv = jnp.zeros((plan["n_bands"], 1, 1), jnp.float32)
-        else:
-            wv = jnp.asarray(p["wv"])
+        wv = jnp.asarray(p["wv"])
         weight_inputs.append(wv)
         weight_specs.append(
             pl.BlockSpec((1,) + wv.shape[1:], lambda s, *_: (s, 0, 0))
@@ -698,8 +621,7 @@ def _emit_frame_resize(pipeline, plan: dict, *, interpret: bool):
 
     scratch = []
     for p in parts:
-        win_rows = R if p["resel"] is not None else p["rows_in"]
-        scratch.append(pltpu.VMEM((2, win_rows, lanes), plan["src_dtype"]))
+        scratch.append(pltpu.VMEM((2, p["rows_in"], lanes), plan["src_dtype"]))
     scratch.append(pltpu.SemaphoreType.DMA((2 * len(parts),)))
 
     def _dot(a, b):
@@ -732,23 +654,13 @@ def _emit_frame_resize(pipeline, plan: dict, *, interpret: bool):
         s = pl.program_id(0)
 
         def dma(band, slot, pi):
-            """The band's window copy: 8-aligned dynamic row start from the
-            prefetched table. Matmul parts fetch full-width rows (a bottom
-            band of a non-8-divisible plane overruns into the memref's row
-            padding — legal, validated on hardware; see _v_bake). Selection
-            parts fetch ONLY their R selected rows: one static 128-aligned
-            lane block of the stride-reshaped view."""
+            """The band's window copy: full-width rows at an 8-aligned
+            dynamic row start from the prefetched table (a bottom band of a
+            non-8-divisible plane overruns into the memref's row padding —
+            legal, validated on hardware; see _v_bake)."""
             p = parts[pi]
             rs = rstart_ref[band, pi]
-            src = src_refs[src_idx[pi]]
-            if p["resel"] is not None:
-                c0 = p["resel"]["c0"]
-                sl = src.at[
-                    pl.ds(pl.multiple_of(rs, 8), R),
-                    pl.ds(c0 * lanes, lanes),
-                ]
-            else:
-                sl = src.at[pl.ds(pl.multiple_of(rs, 8), p["rows_in"]), :]
+            sl = src_refs[0].at[pl.ds(pl.multiple_of(rs, 8), p["rows_in"]), :]
             return pltpu.make_async_copy(
                 sl, windows[pi].at[slot], sem.at[2 * pi + slot]
             )
@@ -778,27 +690,6 @@ def _emit_frame_resize(pipeline, plan: dict, *, interpret: bool):
             wv = wrefs[2 * pi][0]        # (R, rows_in[*2])
             wh_ref = wrefs[2 * pi + 1]   # (n_var, span[*2], cols)
             T = p["T"]
-            if p["resel"] is not None:
-                # vertical SELECTION fast path: the DMA already fetched
-                # exactly the R selected rows (reshaped view), so the
-                # vertical pass is DONE — no matmul, only R rows widened.
-                # Bitwise identical to selecting after the horizontal matmul
-                # (rows are independent under H), hence to the XLA path.
-                vsel = windows[pi][s % 2]
-                if dt.is_integer(vsel.dtype):
-                    vsel = vsel.astype(jnp.int32)
-                vsel = vsel.astype(wdt)
-                tiles = []
-                for t in range(p["n_tiles"]):
-                    ls = p["lane_starts"][t]
-                    tiles.append(_dot(vsel[:, ls:ls + p["span"]],
-                                      wh_ref[p["var_ids"][t]]))
-                planes = []
-                for c in range(len_ch(pi)):
-                    segs = [tl[:, c * T:(c + 1) * T] for tl in tiles]
-                    planes.append(segs[0] if len(segs) == 1
-                                  else jnp.concatenate(segs, axis=1))
-                return planes
             win = windows[pi][s % 2]
             if dt.is_integer(win.dtype):
                 win = win.astype(jnp.int32)  # no direct u8->f32/bf16 cast
@@ -870,11 +761,8 @@ def _emit_frame_resize(pipeline, plan: dict, *, interpret: bool):
     flops = 0
     in_bytes = 0
     for p in parts:
-        if p["resel"] is not None:
-            in_bytes += n_bands * R * lanes * plan["src_dtype"].itemsize
-        else:
-            flops += 2 * dst_h * p["rows_in"] * lanes  # vertical pass
-            in_bytes += n_bands * p["rows_in"] * lanes * plan["src_dtype"].itemsize
+        flops += 2 * dst_h * p["rows_in"] * lanes  # vertical pass
+        in_bytes += n_bands * p["rows_in"] * lanes * plan["src_dtype"].itemsize
         flops += 2 * dst_h * p["span"] * p["n_tiles"] * p["wh"].shape[-1]
     out_bytes = out_ch * dst_h * dst_w * out_dtype.itemsize
     cost = pl.CostEstimate(

@@ -56,7 +56,7 @@ from .pallas_backend import _ScalarVec, _apply_chain_planar, _chain_out_struct
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
-_VMEM_BUDGET = 9 * 1024 * 1024
+_VMEM_BUDGET = 12 * 1024 * 1024  # of ~16 MB/core, leaving Mosaic headroom
 
 
 def scale_buckets(inv: np.ndarray) -> Optional[tuple]:
@@ -119,47 +119,59 @@ def _plan(pipeline) -> Optional[dict]:
         if jnp.result_type(leaf) != jnp.float32:
             return None
 
-    # band height R: divisor of dst_h, multiple of the out-tile row count
+    # joint (R, T) search: R | dst_h (output-block sublane multiple),
+    # T | dst_w (C*T in the MXU lane-tile range), minimizing a device-time
+    # model (grid-step overhead + DMA traffic + widen + matmul flops) subject
+    # to the VMEM budget. The old "largest R <= 64 / first T" heuristic
+    # rejected 1080p-class geometry outright (520-row windows, 14 MB of
+    # cached H matrices).
     row_align = max(1, 32 // out_itemsize)
-    R = None
-    for d in sorted(_divisors(dst_h), reverse=True):
-        if d <= 64 and d % row_align == 0:
-            R = d
-            break
-    if R is None:
-        return None
-    rows_in = -(-(int(math.ceil(e_b * (R - 1))) + 10) // 8) * 8
-    # whole-plane window when the band span (plus slack) exceeds it — the
-    # row start then clamps to 0 and every valid tap fits
-    rows_in = min(rows_in, src_h)
-
-    # W tile: T | dst_w with C*T near the MXU lane tile
-    T = None
-    for d in sorted(_divisors(dst_w), reverse=True):
-        if 128 <= nch * d <= 512:
-            T = d
-            break
-    if T is None:
-        return None
-    span = -(-(nch * int(math.ceil(a_b * (T - 1))) + 2 * nch + 1) // 128) * 128 + 128
-    # whole-row window when the tile span (plus alignment slack) would
-    # exceed it — the lane start then clamps to 0 and every valid tap fits
-    span = min(span, lanes)
-    n_tiles = dst_w // T
-    n_bands = dst_h // R
-
-    vmem = (
-        2 * rows_in * lanes * src.dtype.itemsize  # window ring
-        + rows_in * lanes * 4                     # widened window
-        + R * lanes * 4                           # vertical result scratch
-        + n_tiles * span * nch * T * 4            # cached H matrices
-        + 2 * out_ch * R * dst_w * out_itemsize   # output blocks
-    )
-    if vmem > _VMEM_BUDGET:
+    best = None
+    for R in _divisors(dst_h):
+        if R % row_align or R > 128:
+            continue
+        rows_in = -(-(int(math.ceil(e_b * (R - 1))) + 10) // 8) * 8
+        # whole-plane window when the band span (plus slack) exceeds it —
+        # the row start then clamps to 0 and every valid tap fits
+        rows_in = min(rows_in, src_h)
+        n_bands = dst_h // R
+        for T in _divisors(dst_w):
+            if not 128 <= nch * T <= 1024:
+                continue
+            span = -(-(nch * int(math.ceil(a_b * (T - 1))) + 2 * nch + 1)
+                     // 128) * 128 + 128
+            # whole-row window when the tile span (plus alignment slack)
+            # would exceed it — the lane start then clamps to 0
+            span = min(span, lanes)
+            n_tiles = dst_w // T
+            vmem = (
+                2 * rows_in * lanes * src.dtype.itemsize  # window ring
+                + rows_in * lanes * 4                     # widened window
+                + R * lanes * 4                           # vertical result
+                + n_tiles * span * nch * T * 4            # cached H matrices
+                + 2 * out_ch * R * dst_w * out_itemsize   # output blocks
+            )
+            if vmem > _VMEM_BUDGET:
+                continue
+            # time model in ns: ~1 us/grid step; HBM at ~0.8 B/ns; VPU at
+            # ~8 elem-ops/ns; f32 HIGHEST matmul at ~50 flops/ns
+            dma_b = n_bands * rows_in * lanes * src.dtype.itemsize
+            widen = n_bands * rows_in * lanes * 3
+            flops = 2 * n_bands * R * rows_in * lanes \
+                + 2 * dst_h * span * nch * dst_w // T \
+                + 2 * out_ch * dst_h * dst_w  # epilogue-ish
+            build = n_tiles * span * nch * T * 6
+            cost = (n_bands * 1000 + dma_b / 0.8 + widen / 8
+                    + flops / 50 + build / 8)
+            if best is None or cost < best["cost"]:
+                best = dict(R=R, rows_in=rows_in, T=T, span=span,
+                            n_tiles=n_tiles, n_bands=n_bands, cost=cost)
+    if best is None:
         return None
     return dict(src_h=src_h, src_w=src_w, nch=nch, lanes=lanes,
-                dst_w=dst_w, dst_h=dst_h, R=R, rows_in=rows_in,
-                T=T, span=span, n_tiles=n_tiles, n_bands=n_bands,
+                dst_w=dst_w, dst_h=dst_h, R=best["R"],
+                rows_in=best["rows_in"], T=best["T"], span=best["span"],
+                n_tiles=best["n_tiles"], n_bands=best["n_bands"],
                 out_ch=out_ch, out_dtype=jnp.dtype(out_dtype),
                 src_dtype=jnp.dtype(src.dtype))
 
