@@ -203,7 +203,10 @@ def main():
     sync(jnp.sum(frame_dev))
     log(f"transfer path warm in {time.perf_counter()-t0:.1f}s")
 
-    pipeline = build_pipeline(frame_dev, rects)
+    # the HOST frame: the factory ingests it packed ((H, W*C) row-major view,
+    # free on the host), so the kernel DMAs it directly — an on-device
+    # (H,W,C)->(H,W*C) reshape would be a full relayout copy per new frame
+    pipeline = build_pipeline(frame, rects)
     use_pallas = platform == "tpu" and pallas_backend.supports(pipeline)
 
     if use_pallas:
@@ -226,12 +229,13 @@ def main():
 
     # HBM roofline sanity: bytes touched per batch (per-plane DMA windows +
     # planar f32 outputs) at v5e ~819 GB/s. The MEASURED in-kernel memory
-    # floor (DMA ring + output writes alone, same grid) is 17.8 us/batch —
-    # grid-step and DMA-issue overheads the analytic number ignores.
+    # floor (DMA ring + output writes alone, same grid; _ABLATION="floor") is
+    # 10.8 us/batch with the lane-aligned crop windows — grid-step and
+    # DMA-issue overheads the analytic number ignores.
     window_bytes = BATCH * 128 * 768
     out_bytes = BATCH * 3 * 128 * 64 * 4
     roofline_s = (window_bytes + out_bytes) / 819e9
-    measured_floor = 17.8e-6
+    measured_floor = 10.8e-6
     log(f"analytic HBM time {roofline_s*1e6:.1f} us/batch, measured memory "
         f"floor {measured_floor*1e6:.1f} us; achieved {t_fused*1e6:.1f} us "
         f"({measured_floor/t_fused*100:.0f}% of the measured floor)")

@@ -1,15 +1,26 @@
 #!/usr/bin/env python
-"""Auxiliary benchmarks for the remaining BASELINE configs:
+"""Auxiliary benchmarks for the remaining BASELINE configs, with REAL
+unfused baselines (reference CSV protocol, ``tests/testsCommon.cuh:122-195``:
+one row per case, baseline-vs-fused stats + mean speedup — the baseline
+there is per-op OpenCV calls; here it is the same math issued as one device
+program per op, the launch pattern the fused path replaces):
 
 - single 1920x1080 RGB: resize -> convertTo(f32) -> subtract -> divide ->
   split (BASELINE config 1)
 - 6K NV12 -> RGB + resize + normalize ("ComputeWhatYouSee", BASELINE config 3;
   the reference's raw6K.nv12 scenario with synthesized data — the upstream
   blob is missing, reference falls back to a dummy buffer too)
-- CircularTensor 32-frame temporal window update (BASELINE config 4)
+- CircularTensor 32-frame temporal window update (BASELINE config 4), using
+  the rolling-offset ring (`data/circular_tensor.py`) vs the per-op
+  resize/normalize/split/shift launch pattern
 
-Timing: differential in-jit scan with transfer sync (see bench.py). Writes a
-CSV; prints a summary to stderr.
+Timing: large-signal differential protocol (see bench.py): one jitted
+program of `inner` UNROLLED invocations with per-iteration distinct
+perturbations (so XLA cannot CSE), called k times with one transfer sync;
+t = (T(k2)-T(k1)) / ((k2-k1)*inner). Unfused baselines are per-op dispatch
+loops timed end-to-end (the "customer timeline", reference README.md:146).
+
+Writes benchmarks/aux_pipeline_results.csv; prints a summary to stderr.
 """
 
 import os
@@ -24,33 +35,45 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import cvgpuspeedup_tpu as cvgs
 from cvgpuspeedup_tpu.utils.profiling import BenchmarkRecorder, TimingStats
+from cvgpuspeedup_tpu.utils.profiling import transfer_sync as sync
 
 
-from cvgpuspeedup_tpu.utils.profiling import transfer_sync as sync  # noqa: E402
+def diff_time_pipeline(make_pipeline, perturb_leaf, inner=50, k_small=1,
+                       k_large=5, reps=5, backend=None):
+    """Differential device time of one fused pipeline execution.
 
+    ``make_pipeline()`` returns the Pipeline; ``perturb_leaf(leaf)`` is True
+    for the leaf to shift per iteration (defeats CSE). ``backend=None`` uses
+    the executor's AUTO resolution (profitability-gated Pallas on TPU)."""
+    from cvgpuspeedup_tpu.exec.executor import _lower_with_backend, _resolve_auto
 
-def diff_time(step_fn, payload, inner=20, k_small=1, k_large=9, reps=5):
-    """Differential timing with a LARGE-signal protocol: one jitted program
-    of `inner` UNROLLED step invocations (lax.scan adds ~110us of loop
-    bookkeeping per iteration around non-fusable bodies; each unrolled step
-    sees a distinct python-int i so XLA cannot CSE), called k times
-    back-to-back with one sync; t = (T(k2)-T(k1)) / ((k2-k1)*inner). The
-    multi-ms differential stands above the few-ms sync jitter — small-N
-    protocols measured tens of us of noise per step.
-    step_fn(carry, i, payload) -> carry."""
+    pipe = make_pipeline()
+    be = backend
+    if be is None:
+        be = _resolve_auto(pipe)
+    leaves, treedef = jax.tree_util.tree_flatten(pipe)
+    idx = next(i for i, l in enumerate(leaves) if perturb_leaf(l))
+
     @jax.jit
-    def run(p, seed):
-        c = jnp.float32(seed)
+    def run(ls, seed):
+        tot = jnp.float32(0.0)
         for i in range(inner):
-            c = step_fn(c, i, p)
-        return c
+            lv = list(ls)
+            lv[idx] = lv[idx] + jnp.asarray(i % 251, lv[idx].dtype) + seed
+            p = jax.tree_util.tree_unflatten(treedef, lv)
+            out = _lower_with_backend(p, be)
+            if isinstance(out, (tuple, list)):
+                out = out[0]
+            tot = tot + out[(0,) * out.ndim].astype(jnp.float32)
+        return tot
 
-    sync(run(payload, 0.0))
+    dl = [jax.device_put(l) for l in leaves]
+    sync(run(dl, np.uint8(0)))
 
     def run_k(k):
         t = None
         for j in range(k):
-            t = run(payload, float(j % 3))
+            t = run(dl, np.uint8(j % 3))
         sync(t)
 
     diffs = []
@@ -61,28 +84,60 @@ def diff_time(step_fn, payload, inner=20, k_small=1, k_large=9, reps=5):
         tl = time.perf_counter() - t0
         diffs.append(max(tl - ts, 1e-9) / ((k_large - k_small) * inner))
     diffs.sort()
-    return diffs[len(diffs) // 2]
+    return diffs[len(diffs) // 2], be
+
+
+def time_unfused(step_fn, probe_fn, reps=3, frames=5):
+    """End-to-end time of a per-op dispatch loop (the unfused launch
+    pattern), synced once per measurement."""
+    probe_fn(step_fn())  # compile + warm
+    sync(probe_fn(step_fn()))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(reps):
+        for _ in range(frames):
+            out = step_fn()
+    sync(probe_fn(out))
+    return (time.perf_counter() - t0) / (reps * frames)
+
+
+def _stats(t, n=200):
+    return TimingStats(t, 0, t, t, n)
 
 
 def bench_single_1080p(rec):
     rng = np.random.default_rng(0)
     img = jax.device_put(rng.integers(0, 256, (1080, 1920, 3)).astype(np.uint8))
 
-    def step(c, i, p):
-        pipe = cvgs.build_pipeline(
-            cvgs.resize(cvgs.image(p + np.uint8(i % 97)), cvgs.Size(640, 360)),
+    def make():
+        return cvgs.build_pipeline(
+            cvgs.resize(cvgs.image(img), cvgs.Size(640, 360)),
             cvgs.convert_to(np.float32, alpha=1 / 255.0),
             cvgs.subtract((0.485, 0.456, 0.406)),
             cvgs.divide((0.229, 0.224, 0.225)),
             cvgs.split_tensor(),
         )
-        return c + pipe.lower()[0, 0, 0]
 
-    t = diff_time(step, img)
+    t_fused, be = diff_time_pipeline(make, lambda l: getattr(l, "ndim", 0) == 3)
+
+    # unfused: one device program per op (5 dispatches per frame)
+    op_resize = jax.jit(lambda f: cvgs.execute_operations(
+        cvgs.resize(cvgs.image(f), cvgs.Size(640, 360)),
+        backend=cvgs.ParBackend.XLA))
+    op_conv = jax.jit(lambda t: t.astype(jnp.float32) * np.float32(1 / 255.0))
+    op_sub = jax.jit(lambda t: t - jnp.asarray((0.485, 0.456, 0.406), jnp.float32))
+    op_div = jax.jit(lambda t: t / jnp.asarray((0.229, 0.224, 0.225), jnp.float32))
+    op_split = jax.jit(lambda t: jnp.transpose(t, (2, 0, 1)))
+
+    def step():
+        return op_split(op_div(op_sub(op_conv(op_resize(img)))))
+
+    t_base = time_unfused(step, jax.jit(lambda o: o[0, 0, 0]))
     rec.add_case("single_1080p_resize_normalize_split",
-                 TimingStats(t, 0, t, t, 200), TimingStats(t, 0, t, t, 200))
-    print(f"1080p resize+normalize+split (XLA fused): {t*1e6:.1f} us/frame "
-          f"({1/t:.0f} fps)", file=sys.stderr)
+                 _stats(t_base), _stats(t_fused))
+    print(f"1080p resize+normalize+split: fused({be.name}) {t_fused*1e6:.1f} us"
+          f" ({1/t_fused:.0f} fps), unfused {t_base*1e6:.1f} us, "
+          f"{t_base/t_fused:.1f}x", file=sys.stderr)
 
 
 def bench_nv12_6k(rec):
@@ -90,68 +145,100 @@ def bench_nv12_6k(rec):
     w, h = 5760, 3240  # 6K
     buf = jax.device_put(rng.integers(0, 256, (h * 3 // 2, w)).astype(np.uint8))
 
-    def step(c, i, p):
+    def make():
         virtual = cvgs.fuse(
-            cvgs.read_yuv(p + np.uint8(i % 97)),
+            cvgs.read_yuv(buf),
             cvgs.convert_yuv_to_rgb(standard=cvgs.ColorStandard.BT709,
                                     out_dtype=np.float32),
         )
-        pipe = cvgs.build_pipeline(
+        return cvgs.build_pipeline(
             cvgs.resize(virtual, cvgs.Size(1920, 1080)),
             cvgs.multiply(1 / 255.0),
             cvgs.split_tensor(),
         )
-        return c + pipe.lower()[0, 0, 0]
 
-    t = diff_time(step, buf, inner=10, k_large=6)
+    t_fused, be = diff_time_pipeline(
+        make, lambda l: getattr(l, "ndim", 0) == 2 and l.size > 10000,
+        inner=20)
+
+    # unfused: YUV->RGB one program, resize another, normalize, split
+    op_yuv = jax.jit(lambda b: cvgs.execute_operations(
+        cvgs.read_yuv(b),
+        cvgs.convert_yuv_to_rgb(standard=cvgs.ColorStandard.BT709,
+                                out_dtype=np.float32),
+        backend=cvgs.ParBackend.XLA))
+    op_resize = jax.jit(lambda t: cvgs.execute_operations(
+        cvgs.resize(cvgs.image(t), cvgs.Size(1920, 1080)),
+        backend=cvgs.ParBackend.XLA))
+    op_mul = jax.jit(lambda t: t * np.float32(1 / 255.0))
+    op_split = jax.jit(lambda t: jnp.transpose(t, (2, 0, 1)))
+
+    def step():
+        return op_split(op_mul(op_resize(op_yuv(buf))))
+
+    t_base = time_unfused(step, jax.jit(lambda o: o[0, 0, 0]), frames=3)
     rec.add_case("nv12_6k_to_1080p_rgb_normalize",
-                 TimingStats(t, 0, t, t, 50), TimingStats(t, 0, t, t, 50))
-    print(f"6K NV12 -> 1080p RGB normalize (fused read): {t*1e6:.1f} us/frame "
-          f"({1/t:.0f} fps)", file=sys.stderr)
+                 _stats(t_base, 50), _stats(t_fused, 50))
+    print(f"6K NV12 -> 1080p RGB normalize: fused({be.name}) "
+          f"{t_fused*1e6:.1f} us ({1/t_fused:.0f} fps), unfused "
+          f"{t_base*1e6:.1f} us, {t_base/t_fused:.1f}x", file=sys.stderr)
 
 
 def bench_circular_tensor(rec):
-    """32-frame window: resize+normalize the new frame + shift, one program."""
+    """32-frame window: resize+normalize the new frame + ring update. Fused =
+    CircularTensor's rolling-offset ring (ONE donated program, no plane
+    copies); baseline = the per-op launch pattern incl. the BATCH-1 concat
+    shift (the reference's own pre-fusion timeline, README.md:149-155)."""
+    from cvgpuspeedup_tpu.data.circular_tensor import CircularTensor
+
     rng = np.random.default_rng(2)
     frame = jax.device_put(rng.integers(0, 256, (1080, 1920, 3)).astype(np.uint8))
-    ring0 = jnp.zeros((32, 3, 128, 64), jnp.float32)
 
-    def step(ring, i, p):
-        pipe = cvgs.build_pipeline(
-            cvgs.resize(cvgs.image(p + np.uint8(i % 97)), cvgs.Size(64, 128)),
+    ct = CircularTensor(64, 128, 3, 32)
+
+    def up():
+        ct.update(
+            cvgs.resize(cvgs.image(frame), cvgs.Size(64, 128)),
             cvgs.convert_to(np.float32, alpha=1 / 255.0),
+            cvgs.split_tensor(),
         )
-        new = jnp.transpose(pipe.lower(), (2, 0, 1))[None]
-        return jnp.concatenate([new, ring[:-1]], axis=0)
 
-    @jax.jit
-    def run(p):
-        ring = ring0
-        for i in range(20):
-            ring = step(ring, i, p)
-        return ring
-
-    sync(run(frame))
+    up(); up()
+    sync(ct.snapshot()[0, 0, 0, 0])
 
     def run_k(k):
-        t = None
         for _ in range(k):
-            t = run(frame)
-        sync(t)
+            up()
+        sync(ct.snapshot()[0, 0, 0, 0])
 
     diffs = []
     for _ in range(5):
-        t0 = time.perf_counter(); run_k(1)
-        ts = time.perf_counter() - t0
-        t0 = time.perf_counter(); run_k(9)
-        tl = time.perf_counter() - t0
-        diffs.append(max(tl - ts, 1e-9) / (8 * 20))
+        t0 = time.perf_counter(); run_k(10); ts = time.perf_counter() - t0
+        t0 = time.perf_counter(); run_k(60); tl = time.perf_counter() - t0
+        diffs.append((tl - ts) / 50)
     diffs.sort()
-    t = diffs[2]
+    t_fused = diffs[len(diffs) // 2]
+
+    # unfused: resize / convert / split / shift as separate programs
+    op_resize = jax.jit(lambda f: cvgs.execute_operations(
+        cvgs.resize(cvgs.image(f), cvgs.Size(64, 128)),
+        backend=cvgs.ParBackend.XLA))
+    op_conv = jax.jit(lambda t: t.astype(jnp.float32) * np.float32(1 / 255.0))
+    op_split = jax.jit(lambda t: jnp.transpose(t, (2, 0, 1)))
+    op_shift = jax.jit(lambda ring, new: jnp.concatenate(
+        [new[None], ring[:-1]], axis=0))
+
+    ring = jnp.zeros((32, 3, 128, 64), jnp.float32)
+
+    def step():
+        return op_shift(ring, op_split(op_conv(op_resize(frame))))
+
+    t_base = time_unfused(step, jax.jit(lambda o: o[0, 0, 0, 0]))
     rec.add_case("circular_tensor_32_update",
-                 TimingStats(t, 0, t, t, 200), TimingStats(t, 0, t, t, 200))
-    print(f"CircularTensor-32 update (resize+normalize+shift): {t*1e6:.1f} us "
-          f"({1/t:.0f} updates/s)", file=sys.stderr)
+                 _stats(t_base), _stats(t_fused))
+    print(f"CircularTensor-32 update: fused ring {t_fused*1e6:.1f} us "
+          f"({1/t_fused:.0f} updates/s), unfused {t_base*1e6:.1f} us, "
+          f"{t_base/t_fused:.1f}x", file=sys.stderr)
 
 
 def main():

@@ -177,7 +177,19 @@ def convert_yuv_to_rgb(
 
 def image(source: ArrayLike) -> ReadOp:
     """Wrap a packed (H, W, C) / (N, H, W, C) array as a read op
-    (``fk::PerThreadRead`` analog)."""
+    (``fk::PerThreadRead`` analog).
+
+    HOST (numpy) arrays are ingested in packed-lane form — a free row-major
+    reshape to (H, W*C) — so the Pallas kernels can DMA the rows directly;
+    the same reshape ON DEVICE is a full XLA relayout copy (~82 us at 1080p,
+    more than the fused kernel itself). Device arrays are wrapped as-is."""
+    if (isinstance(source, np.ndarray) and not isinstance(source, jnp.ndarray)
+            and source.ndim in (3, 4) and source.shape[-1] > 1):
+        c = int(source.shape[-1])
+        arr = np.ascontiguousarray(source)
+        packed = arr.reshape(arr.shape[:-2] + (arr.shape[-2] * c,))
+        return ImageRead(data=packed, is_batch=(source.ndim == 4),
+                         packed_channels=c)
     return _as_read(source)
 
 
@@ -283,6 +295,12 @@ def resize_batch(
         frame = source if isinstance(source, (jnp.ndarray, jax.core.Tracer)) else np.asarray(source)
         if frame.ndim == 2:  # grayscale without channel axis
             frame = frame[..., None]
+        # host frames ingest packed (free numpy view; on-device reshape is a
+        # relayout copy — see ops.memory.ImageRead.packed_channels)
+        packed_c = 0
+        if isinstance(frame, np.ndarray) and not isinstance(frame, jnp.ndarray):
+            packed_c = int(frame.shape[-1])
+        frame_hwc = frame
         is_concrete = not isinstance(rects, jax.core.Tracer)
         rect_arr = rects if isinstance(rects, jax.core.Tracer) else np.asarray(rects, np.int32)
         if rect_arr.ndim != 2 or rect_arr.shape[1] != 4:
@@ -299,6 +317,10 @@ def resize_batch(
             max_h = min(fh, int(-(-int(r_np[:, 3].max()) // 8) * 8))
             if len(set(r_np[:, 2])) == 1 and len(set(r_np[:, 3])) == 1:
                 uniform_wh = (int(r_np[0, 2]), int(r_np[0, 3]))
+        if packed_c:
+            frame = np.ascontiguousarray(frame_hwc).reshape(
+                frame_hwc.shape[0], frame_hwc.shape[1] * packed_c
+            )
         return BatchResizeRead(
             frame=frame,
             stack=None,
@@ -311,6 +333,7 @@ def resize_batch(
             max_crop_w=max_w,
             max_crop_h=max_h,
             uniform_wh=uniform_wh,
+            packed_channels=packed_c,
         )
     imgs = [np.asarray(s) for s in source]
     nch = channels or (imgs[0].shape[-1] if imgs[0].ndim == 3 else 1)
@@ -329,9 +352,11 @@ def resize_batch(
         stack[z, : im.shape[0], : im.shape[1], :] = im
         rect_list.append((0, 0, im.shape[1], im.shape[0]))
     _dims = {(r[2], r[3]) for r in rect_list}
+    stack = stack.reshape(len(imgs), max_h, max_w * nch)  # packed lanes
     return BatchResizeRead(
         frame=None,
         stack=stack,
+        packed_channels=nch,
         rects=np.asarray(rect_list, np.int32),
         uniform_wh=(_dims.pop() if len(_dims) == 1 else None),
         used_planes=None if used_planes is None else _np_or_traced(used_planes, np.int32),

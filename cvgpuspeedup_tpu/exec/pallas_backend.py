@@ -137,9 +137,8 @@ def _window_geometry(read) -> Optional[dict]:
     """
     frame_mode = read.frame is not None
     src = read.frame if frame_mode else read.stack
-    nch = int(src.shape[-1])
+    src_h, src_w, nch = read.source_dims()
     if frame_mode:
-        src_h, src_w = int(src.shape[0]), int(src.shape[1])
         maxh = -(-int(read.max_crop_h) // 8) * 8
         maxw = -(-int(read.max_crop_w) // 32) * 32
         win_h = maxh + 8
@@ -151,7 +150,6 @@ def _window_geometry(read) -> Optional[dict]:
             return None
         core_h, core_w = maxh, maxw
     else:
-        src_h, src_w = int(src.shape[1]), int(src.shape[2])
         if src_h % 8 or (src_w * nch) % 128:
             return None
         win_h = src_h
@@ -290,9 +288,10 @@ def supports(pipeline) -> bool:
     if not isinstance(pipeline.write, _SUPPORTED_WRITES):
         return False
     src = read.frame if read.frame is not None else read.stack
-    if src.ndim != 3 and not (read.stack is not None and src.ndim == 4):
+    expect_rank = (2 if read.packed_channels else 3) + (read.stack is not None)
+    if src.ndim != expect_rank:
         return False
-    nch = int(src.shape[-1])
+    nch = read.source_dims()[2]
     if _window_geometry(read) is None:
         return False
     # total on-chip footprint: window ring + core copies (in _window_geometry)
@@ -442,7 +441,7 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
     h_out, w_out = dsize.height, dsize.width
     frame_mode = read.frame is not None
     src = read.frame if frame_mode else read.stack
-    nch = int(src.shape[-1])
+    nch = read.source_dims()[2]
     n_planes = read.num_planes
     geo = _window_geometry(read)
     assert geo is not None, "emitter called on unsupported geometry"
@@ -498,8 +497,12 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
             + [jnp.asarray(l, jnp.float32).reshape(-1) for l in chain_leaves]
         )
 
-    # source as 2D rows of interleaved pixels (layout no-op)
-    if frame_mode:
+    # source as 2D rows of interleaved pixels. Packed ingestion means this is
+    # the stored layout already; the reshape fallback (device-array sources)
+    # is a full XLA relayout copy PER NEW FRAME — packed callers skip it.
+    if read.packed_channels:
+        src2d = src
+    elif frame_mode:
         src2d = src.reshape(src_h, src_w * nch)
     else:
         src2d = src.reshape(n_planes, src_h, src_w * nch)

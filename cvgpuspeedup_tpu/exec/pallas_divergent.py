@@ -78,20 +78,31 @@ def _chain_out_dtype(chain):
 
 def _seq_info(seq) -> Optional[dict]:
     read = seq.read
+    packed = 0
     if isinstance(read, ImageRead) and read.is_batch:
         src, kind, asc = read.data, "image", True
+        packed = read.packed_channels
     elif isinstance(read, CircularBatchRead):
         src, kind, asc = read.data, "circ", read.ascendent
     else:
         return None
-    if src.ndim != 4:
-        return None
+    if packed:
+        # packed ingestion: (N, H, W*C) — already the kernel's interleaved
+        # lane layout, no per-call relayout
+        if src.ndim != 3:
+            return None
+        pshape = (int(src.shape[1]), int(src.shape[2]) // packed, packed)
+    else:
+        if src.ndim != 4:
+            return None
+        pshape = tuple(int(d) for d in src.shape[1:])
     chain = _flat_chain(seq.compute)
     if chain is None:
         return None
     if not isinstance(seq.write, (TensorWrite, Write2D)):
         return None
-    return dict(src=src, kind=kind, asc=asc, chain=chain, read=read)
+    return dict(src=src, kind=kind, asc=asc, chain=chain, read=read,
+                pshape=pshape, packed=packed)
 
 
 def _plan(seqs: Sequence, plane_ids) -> Optional[list]:
@@ -105,7 +116,7 @@ def _plan(seqs: Sequence, plane_ids) -> Optional[list]:
         if info is None:
             return None
         s = info["src"]
-        pshape = tuple(int(d) for d in s.shape[1:])
+        pshape = info["pshape"]
         sdt = jnp.dtype(s.dtype)
         odt = _chain_out_dtype(info["chain"])
         if shape0 is None:
@@ -156,7 +167,7 @@ def try_lower(seqs, plane_ids, *, interpret: bool = False):
 
 def _emit(plane_ids, infos, *, interpret: bool):
     n = len(plane_ids)
-    h, w, c = (int(d) for d in infos[0]["src"].shape[1:])
+    h, w, c = infos[0]["pshape"]
     lanes = w * c
     out_dtype = jnp.dtype(_chain_out_dtype(infos[0]["chain"]))
 
@@ -192,7 +203,8 @@ def _emit(plane_ids, infos, *, interpret: bool):
         fparams = jnp.zeros((1,), jnp.float32)
 
     srcs = [
-        jnp.reshape(info["src"], (int(info["src"].shape[0]), h, lanes))
+        info["src"] if info["packed"]
+        else jnp.reshape(info["src"], (int(info["src"].shape[0]), h, lanes))
         for info in infos
     ]
 

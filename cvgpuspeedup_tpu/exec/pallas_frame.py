@@ -66,6 +66,17 @@ _DEFAULT = jax.lax.Precision.DEFAULT
 _VMEM_BUDGET = 10 * 1024 * 1024
 #: budget for the baked horizontal matrices (all variants)
 _WH_BUDGET = 6 * 1024 * 1024
+#: benchmark-only kernel ablation (None = real kernel): "floor" = DMA +
+#: trivial write only; "novert" = skip the vertical matmul; "nohoriz" = skip
+#: the horizontal matmuls; "nochain" = skip the pointwise chain. Results are
+#: WRONG under any non-None value. Mirrors pallas_backend._ABLATION.
+_ABLATION = None
+#: benchmark-only band-height override (None = cost-model choice)
+_FORCE_R = None
+#: window-DMA row-start alignment. u8 HBM memrefs are (32,128)-tiled, so
+#: 32-aligned starts let the copy engine move whole tiles; taps are baked
+#: relative to the aligned start either way.
+_DMA_ROW_ALIGN = 8
 
 
 def _divisors(n: int):
@@ -108,14 +119,19 @@ def _v_bake(src_h: int, dst_h: int, R: int, row_offset: int,
         iy0, iy1 = iy0 // 2, iy1 // 2
     n_bands = dst_h // R
     plane_rows = (src_h // 2) if half_of_full else src_h
+    align = _DMA_ROW_ALIGN
     rstarts, need = [], 0
     for s in range(n_bands):
         lo = int(min(iy0[s * R:(s + 1) * R].min(), iy1[s * R:(s + 1) * R].min()))
         hi = int(max(iy0[s * R:(s + 1) * R].max(), iy1[s * R:(s + 1) * R].max()))
-        r0 = (lo // 8) * 8
+        r0 = (lo // align) * align
         rstarts.append(r0)
         need = max(need, hi - r0 + 1)
     rows_in = -(-need // 8) * 8
+    if align > 8:
+        # keep clamped starts aligned: grow the window until
+        # plane_rows - rows_in is itself a multiple of the alignment
+        rows_in += (plane_rows - rows_in) % align
     if plane_rows % 8 == 0:
         # clamp starts so the window never overruns the plane
         if rows_in > plane_rows:
@@ -136,6 +152,8 @@ def _v_bake(src_h: int, dst_h: int, R: int, row_offset: int,
         # have its start clamped — alignment jitter (lo % 8 up to 7) can
         # otherwise push rstart + rows_in past roundup8(plane_rows).
         padded_rows = -(-plane_rows // 8) * 8
+        if align > 8:
+            rows_in += (padded_rows - rows_in) % align
         if rows_in > padded_rows:
             return None
         rstarts = [min(r0, padded_rows - rows_in) for r0 in rstarts]
@@ -245,7 +263,8 @@ def _plan_key(pipeline):
     if src is None:
         return None
     treedef = jax.tree_util.tree_structure(pipeline)
-    return (treedef, tuple(src.shape), str(src.dtype))
+    return (treedef, tuple(src.shape), str(src.dtype), _FORCE_R,
+            _DMA_ROW_ALIGN)
 
 
 def _source_array(read):
@@ -284,7 +303,10 @@ def _build_plan(pipeline) -> Optional[dict]:
     conv = None
     if isinstance(read.source, ImageRead) and not read.source.is_batch:
         src = read.source.data
-        if src.ndim == 2:
+        pc = read.source.packed_channels
+        if pc:
+            src_h, src_w, nch = int(src.shape[0]), int(src.shape[1]) // pc, pc
+        elif src.ndim == 2:
             src_h, src_w, nch = int(src.shape[0]), int(src.shape[1]), 1
         elif src.ndim == 3:
             src_h, src_w, nch = (int(d) for d in src.shape)
@@ -358,6 +380,8 @@ def _build_plan(pipeline) -> Optional[dict]:
     best_score = None
     row_align = max(1, 32 // out_itemsize)  # output block sublane tiling
     for R in sorted(d for d in _divisors(dst_h) if d <= 256):
+        if _FORCE_R is not None and R != _FORCE_R:
+            continue
         if R % row_align:
             continue
         v_y = _v_bake(src_h, dst_h, R, 0)
@@ -377,7 +401,8 @@ def _build_plan(pipeline) -> Optional[dict]:
         trans = v_y["rows_in"] * lanes_total * 4 + 2 * R * lanes_total * 4
         if v_uv is not None:
             trans += v_uv["rows_in"] * lanes_total * 4
-        if ring + out_blk + wv_blk + wh_bytes + trans > _VMEM_BUDGET:
+        if (_FORCE_R is None
+                and ring + out_blk + wv_blk + wh_bytes + trans > _VMEM_BUDGET):
             continue
         n_bands_r = dst_h // R
         # units ~ VPU element-ops (~4e12/s): a grid step's DMA-issue/wait
@@ -432,7 +457,32 @@ def _build_plan(pipeline) -> Optional[dict]:
         else:
             part["dekker"] = False
             wdt = jnp.float32
-        part["wv"] = np.asarray(wv, wdt)
+        part["s8"] = None
+        if exact and order == "v" and vp["rows_in"] >= R:
+            # s8 MXU vertical pass: the dominant kernel cost is widening the
+            # FULL u8 window (u8->i32->bf16 touches every source byte, ~10x
+            # the 1080p kernel's matmul time measured on hardware); instead
+            # the vertical interpolation runs as int8 matmuls directly on the
+            # bitcast window and only the R result rows are ever widened.
+            # Exactness: wv rows each sum to 1, so with the integer matrix
+            # N = wv * den (den = 2^K): N @ win = N @ (win XOR 0x80 as s8)
+            # + 128*den, every term an exact i32. N splits into hi/lo
+            # nibbles (two s8 matmuls, or one when all N <= 15); the f32
+            # result times 1/den (power of two) is the exact rational value
+            # the bf16 widen path produces.
+            den = None
+            for k2 in range(0, 11):
+                D = 1 << k2
+                N = wv * D
+                Nr = np.round(N)
+                if np.array_equal(N, Nr) and Nr.max() <= D:
+                    den, N = D, Nr.astype(np.int32)
+                    break
+            if den is not None and (N >> 4).max() <= 127:
+                hi, lo = (N >> 4).astype(np.int8), (N & 15).astype(np.int8)
+                part["s8"] = dict(den=den, use_hi=bool(hi.any()))
+                wv = np.stack([hi, lo], axis=1)  # (n_bands, 2, R, rows_in)
+        part["wv"] = wv if part["s8"] else np.asarray(wv, wdt)
         part["wh"] = np.asarray(wh, wdt)
         return part
 
@@ -539,6 +589,7 @@ def _emit_frame_resize(pipeline, plan: dict, *, interpret: bool):
     write = pipeline.write
 
     kind = plan["kind"]
+    dma_align = _DMA_ROW_ALIGN
     R, n_bands = plan["R"], plan["n_bands"]
     dst_w, dst_h = plan["dst_w"], plan["dst_h"]
     lanes = plan["lanes"]
@@ -549,9 +600,11 @@ def _emit_frame_resize(pipeline, plan: dict, *, interpret: bool):
 
     if kind == "image":
         src = read.source.data
-        if src.ndim == 2:
-            src = src[:, :, None]
-        src2d = src.reshape(plan["src_h"], lanes)
+        if read.source.packed_channels or src.ndim == 2:
+            src2d = src  # packed ingestion: rows are already the lane layout
+        else:
+            # device-array fallback: a full relayout copy per NEW frame
+            src2d = src.reshape(plan["src_h"], lanes)
     else:
         src2d = read._commuted_source()[0].buffer
 
@@ -596,8 +649,10 @@ def _emit_frame_resize(pipeline, plan: dict, *, interpret: bool):
     for p in parts:
         wv = jnp.asarray(p["wv"])
         weight_inputs.append(wv)
+        zeros = (0,) * (wv.ndim - 1)
         weight_specs.append(
-            pl.BlockSpec((1,) + wv.shape[1:], lambda s, *_: (s, 0, 0))
+            pl.BlockSpec((1,) + wv.shape[1:],
+                         lambda s, *_, _z=zeros: (s,) + _z)
         )
         wh = jnp.asarray(p["wh"])
         weight_inputs.append(wh)
@@ -631,6 +686,12 @@ def _emit_frame_resize(pipeline, plan: dict, *, interpret: bool):
             preferred_element_type=jnp.float32,
         )
 
+    def _dot_s8(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
     def kernel(rstart_ref, fp_ref, *rest):
         ns = len(srcs)
         src_refs = rest[:ns]
@@ -660,7 +721,7 @@ def _emit_frame_resize(pipeline, plan: dict, *, interpret: bool):
             legal, validated on hardware; see _v_bake)."""
             p = parts[pi]
             rs = rstart_ref[band, pi]
-            sl = src_refs[0].at[pl.ds(pl.multiple_of(rs, 8), p["rows_in"]), :]
+            sl = src_refs[0].at[pl.ds(pl.multiple_of(rs, dma_align), p["rows_in"]), :]
             return pltpu.make_async_copy(
                 sl, windows[pi].at[slot], sem.at[2 * pi + slot]
             )
@@ -687,16 +748,43 @@ def _emit_frame_resize(pipeline, plan: dict, *, interpret: bool):
         def resize_part(pi):
             """One plane set -> list of (R, dst_w) f32 planes."""
             p = parts[pi]
-            wv = wrefs[2 * pi][0]        # (R, rows_in[*2])
+            wv = wrefs[2 * pi][0]        # (R, rows_in[*2]) or s8 (2, R, rows_in)
             wh_ref = wrefs[2 * pi + 1]   # (n_var, span[*2], cols)
             T = p["T"]
             win = windows[pi][s % 2]
-            if dt.is_integer(win.dtype):
-                win = win.astype(jnp.int32)  # no direct u8->f32/bf16 cast
-            win = win.astype(wdt)
+            if p["s8"] is None:
+                if dt.is_integer(win.dtype):
+                    win = win.astype(jnp.int32)  # no direct u8->f32/bf16 cast
+                win = win.astype(wdt)
+            if _ABLATION == "floor":
+                # DMA + output write only (WRONG results; bench ablation)
+                z = windows[pi][s % 2, 0:8, 0:128]
+                v = z.astype(jnp.int32).astype(jnp.float32)[0, 0]
+                return [jnp.full((R, dst_w), v, jnp.float32)
+                        for _ in range(len_ch(pi))]
             tiles = []
             if order == "v":
-                v_full = _dot(wv, win)
+                if _ABLATION == "novert":
+                    base = windows[pi][s % 2, 0:R, :]
+                    v_full = base.astype(jnp.int32).astype(jnp.float32)
+                elif p["s8"] is not None:
+                    # int8 MXU vertical pass on the raw u8 window: only the
+                    # R result rows are ever widened (see finish() for the
+                    # exactness argument)
+                    den = p["s8"]["den"]
+                    win_x = pltpu.bitcast(win ^ jnp.uint8(0x80), jnp.int8)
+                    acc = _dot_s8(wv[1], win_x)
+                    if p["s8"]["use_hi"]:
+                        acc = acc + _dot_s8(wv[0], win_x) * 16
+                    acc = acc + jnp.int32(128 * den)
+                    v_full = acc.astype(jnp.float32)
+                    if den > 1:
+                        v_full = v_full * jnp.float32(1.0 / den)
+                else:
+                    v_full = _dot(wv, win)
+                if _ABLATION == "nohoriz":
+                    return [v_full[:, c * 128:c * 128 + dst_w].astype(jnp.float32)
+                            for c in range(len_ch(pi))]
                 if p["dekker"]:
                     v_hi = v_full.astype(jnp.bfloat16)
                     v_lo = (v_full - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -740,7 +828,8 @@ def _emit_frame_resize(pipeline, plan: dict, *, interpret: bool):
             u_p, v_p = resize_part(1)
             planes = _conv_planar(plan["conv"], y_p, u_p, v_p)
 
-        planes = _apply_chain_planar(chain_k, planes)
+        if _ABLATION != "nochain":
+            planes = _apply_chain_planar(chain_k, planes)
 
         if isinstance(write, TensorSplit):
             for c, pln in enumerate(planes):

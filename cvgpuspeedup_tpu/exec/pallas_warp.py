@@ -93,7 +93,10 @@ def _plan(pipeline) -> Optional[dict]:
     if not isinstance(pipeline.write, (TensorSplit, SplitWrite)):
         return None
     src = src_op.data
-    if src.ndim == 2:
+    pc = src_op.packed_channels
+    if pc:
+        src_h, src_w, nch = int(src.shape[0]), int(src.shape[1]) // pc, pc
+    elif src.ndim == 2:
         src_h, src_w, nch = int(src.shape[0]), int(src.shape[1]), 1
     elif src.ndim == 3:
         src_h, src_w, nch = (int(d) for d in src.shape)
@@ -210,9 +213,10 @@ def _emit_warp(pipeline, plan: dict, *, interpret: bool):
     out_ch, out_dtype = plan["out_ch"], plan["out_dtype"]
 
     src = read.source.data
-    if src.ndim == 2:
-        src = src[:, :, None]
-    src2d = jnp.reshape(jnp.asarray(src), (src_h, lanes))
+    if read.source.packed_channels or src.ndim == 2:
+        src2d = jnp.asarray(src)  # packed ingestion: already the lane layout
+    else:
+        src2d = jnp.reshape(jnp.asarray(src), (src_h, lanes))
 
     # coordinate vectors (same f32 values the XLA path samples)
     sx = (jnp.asarray(read.col_x, jnp.float32)

@@ -48,6 +48,13 @@ class ImageRead(ReadOp):
 
     data: jnp.ndarray
     is_batch: bool = static_field(default=False)
+    #: >0: ``data`` rows are channel-interleaved lanes — (H, W*C) (or
+    #: (N, H, W*C) batched). The host-side reshape to this form is a free
+    #: numpy view, while reshaping (H, W, C) -> (H, W*C) ON DEVICE is a full
+    #: XLA relayout copy (measured 82 us for a 1080p u8 frame — more than
+    #: the fused kernel itself). Pallas emitters consume the packed rows
+    #: directly; the XLA fallback reshapes back here.
+    packed_channels: int = static_field(default=0)
 
     @property
     def batched(self):  # type: ignore[override]
@@ -55,6 +62,9 @@ class ImageRead(ReadOp):
 
     def lower(self) -> jnp.ndarray:
         x = self.data
+        if self.packed_channels:
+            c = self.packed_channels
+            return x.reshape(x.shape[:-1] + (x.shape[-1] // c, c))
         min_rank = 4 if self.is_batch else 3
         if x.ndim == min_rank - 1:  # grayscale without channel axis
             x = x[..., None]

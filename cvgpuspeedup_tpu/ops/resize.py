@@ -517,12 +517,43 @@ class BatchResizeRead(ReadOp):
     # then plane-invariant and the Pallas emitter bakes them as constants
     # fetched once per launch instead of rebuilding per plane.
     uniform_wh: Optional[tuple] = static_field(default=None)
+    #: >0: frame/stack rows are channel-interleaved lanes — frame (H, W*C),
+    #: stack (N, H, W*C). The packing reshape is free on the host (numpy
+    #: view) but a full relayout copy on device, so the factory packs host
+    #: arrays up front and the Pallas emitter DMAs the packed rows directly
+    #: (see ops.memory.ImageRead.packed_channels).
+    packed_channels: int = static_field(default=0)
 
     batched = True
 
     @property
     def num_planes(self) -> int:
         return self.rects.shape[0]
+
+    def frame_hwc(self):
+        """The logical (H, W, C) frame (unpacking if needed — XLA path)."""
+        f = self.frame
+        if f is not None and self.packed_channels:
+            c = self.packed_channels
+            f = f.reshape(f.shape[0], f.shape[1] // c, c)
+        return f
+
+    def stack_nhwc(self):
+        """The logical (N, H, W, C) stack (unpacking if needed — XLA path)."""
+        s = self.stack
+        if s is not None and self.packed_channels:
+            c = self.packed_channels
+            s = s.reshape(s.shape[0], s.shape[1], s.shape[2] // c, c)
+        return s
+
+    def source_dims(self):
+        """(src_h, src_w, nch) of the logical source plane."""
+        src = self.frame if self.frame is not None else self.stack
+        off = 0 if self.frame is not None else 1
+        if self.packed_channels:
+            nch = self.packed_channels
+            return int(src.shape[off]), int(src.shape[off + 1]) // nch, nch
+        return int(src.shape[off]), int(src.shape[off + 1]), int(src.shape[-1])
 
     def lower(self) -> jnp.ndarray:
         dst_w, dst_h = self.dsize.width, self.dsize.height
@@ -556,10 +587,10 @@ class BatchResizeRead(ReadOp):
         if self.frame is not None:
             # jnp coercion matters when lowering OUTSIDE jit (eval_shape /
             # direct Pipeline.lower): vmap tracers cannot index numpy leaves
-            frame = jnp.asarray(self.frame).astype(jnp.float32)
+            frame = jnp.asarray(self.frame_hwc()).astype(jnp.float32)
             out = jax.vmap(lambda r: one_plane(r, frame))(rects)
         else:
-            stack = jnp.asarray(self.stack).astype(jnp.float32)
+            stack = jnp.asarray(self.stack_nhwc()).astype(jnp.float32)
             out = jax.vmap(one_plane)(rects, stack)
 
         if self.used_planes is not None:

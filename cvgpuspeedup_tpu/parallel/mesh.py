@@ -40,8 +40,9 @@ except ImportError:  # pragma: no cover
         return _shard_map_legacy(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
 
 from ..exec.executor import Pipeline, _lower_with_backend, build_pipeline
-from ..graph import IOp
-from ..ops.memory import ImageRead, SplitWrite, TensorTSplit
+from ..graph import IOp, ReadOp, op, static_field
+from ..ops.memory import (BatchRead, CircularBatchRead, ImageRead, SplitWrite,
+                          TensorTSplit)
 from ..ops.resize import BatchResizeRead
 from ..types import ParBackend
 
@@ -84,11 +85,28 @@ def make_mesh(n: Optional[int] = None, axis: str = "batch", devices=None) -> Mes
     return Mesh(np.array(devices), (axis,))
 
 
-def _leaf_spec(path, axis: str):
+def _leaf_spec(path, axis: str, read=None):
+    # A CircularBatchRead's ring buffer is named "data" but must REPLICATE:
+    # output plane z reads input plane (first +/- z) % N, so a shard needs
+    # ring planes outside its own output range — the per-shard remap rebases
+    # ``first`` instead (see local_run). Name-based plane routing applies to
+    # the partitionable reads only.
+    if isinstance(read, CircularBatchRead):
+        return P()
     names = {getattr(p, "name", None) for p in path}
     if names & set(_PLANE_AXIS_FIELDS):
         return P(axis)
     return P()
+
+
+def _write_out_spec(pipeline, axis: str):
+    """Output partition from the write layout's plane axis."""
+    if isinstance(pipeline.write, TensorTSplit):
+        return P(None, axis)
+    if isinstance(pipeline.write, SplitWrite):
+        outs = jax.eval_shape(pipeline.lower)
+        return tuple(P(axis) for _ in outs)
+    return P(axis)
 
 
 def execute_sharded(
@@ -114,6 +132,10 @@ def execute_sharded(
         n_planes = int(read.data.shape[0])
     elif isinstance(read, BatchResizeRead):
         n_planes = read.num_planes
+    elif isinstance(read, CircularBatchRead):
+        n_planes = int(read.data.shape[0])
+    elif isinstance(read, BatchRead):
+        return _execute_sharded_batchread(pipeline, mesh, axis, nsh, backend)
     else:
         raise NotImplementedError(
             f"sharding of {type(read).__name__} is not supported (its plane "
@@ -127,22 +149,10 @@ def execute_sharded(
         backend = ParBackend.XLA if jax.default_backend() != "tpu" else ParBackend.PALLAS
 
     leaves_path, treedef = jax.tree_util.tree_flatten_with_path(pipeline)
-    specs = tuple(_leaf_spec(path, axis) for path, _ in leaves_path)
+    specs = tuple(_leaf_spec(path, axis, read) for path, _ in leaves_path)
     leaves = tuple(leaf for _, leaf in leaves_path)
 
-    # output partition follows the write layout's plane axis
-    if isinstance(pipeline.write, TensorTSplit):
-        out_spec = P(None, axis)
-    elif isinstance(pipeline.write, SplitWrite):
-        nch_probe = jax.eval_shape(
-            lambda ls: _lower_with_backend(
-                jax.tree_util.tree_unflatten(treedef, ls), ParBackend.XLA
-            ),
-            list(leaves),
-        )
-        out_spec = tuple(P(axis) for _ in nch_probe)
-    else:
-        out_spec = P(axis)
+    out_spec = _write_out_spec(pipeline, axis)
 
     cache_key = (treedef, mesh, backend, axis)
     jitted = _SHARD_CACHE.get(cache_key)
@@ -151,18 +161,125 @@ def execute_sharded(
         def local_run(*lv):
             p: Pipeline = jax.tree_util.tree_unflatten(treedef, list(lv))
             rd = p.read
+            idx = jax.lax.axis_index(axis)
             if isinstance(rd, BatchResizeRead) and rd.used_planes is not None:
                 # rebase the global ragged count onto this shard's plane range
-                idx = jax.lax.axis_index(axis)
                 local_used = jnp.clip(rd.used_planes - idx * local_n, 0, local_n)
                 rd = dataclasses.replace(rd, used_planes=local_used)
                 p = dataclasses.replace(p, read=rd)
+            elif isinstance(rd, CircularBatchRead):
+                # ring data is replicated; each shard's output planes are the
+                # global range [idx*local_n, (idx+1)*local_n), reached by
+                # rebasing the modular start index
+                off = idx * jnp.int32(local_n)
+                first = rd.first + off if rd.ascendent else rd.first - off
+                p = dataclasses.replace(p, read=_LocalRingView(
+                    data=rd.data, first=first, ascendent=rd.ascendent,
+                    local_n=local_n,
+                ))
             return _lower_with_backend(p, backend)
 
         jitted = jax.jit(shard_map(local_run, mesh, in_specs=specs, out_specs=out_spec))
         _SHARD_CACHE[cache_key] = jitted
     with mesh:
         return jitted(*leaves)
+
+
+@op
+class _LocalRingView(ReadOp):
+    """One shard's slice of a replicated :class:`CircularBatchRead` ring:
+    ``local_n`` output planes starting at the shard-rebased modular index."""
+
+    data: jnp.ndarray
+    first: jnp.ndarray
+    ascendent: bool = static_field(default=True)
+    local_n: int = static_field(default=1)
+
+    batched = True
+
+    def lower(self) -> jnp.ndarray:
+        n = self.data.shape[0]
+        z = jnp.arange(self.local_n)
+        src = (self.first + z) % n if self.ascendent else (self.first - z) % n
+        return jnp.take(self.data, src, axis=0)
+
+    def describe(self) -> str:
+        return f"LocalRingView[{self.local_n}/{self.data.shape[0]}]"
+
+
+def _execute_sharded_batchread(pipeline: Pipeline, mesh: Mesh, axis: str,
+                               nsh: int, backend: ParBackend):
+    """Shard a :class:`BatchRead` pipeline (e.g. ``warp_batch``): the plane
+    axis is the sub-read TUPLE, not an array axis, so per-plane leaves are
+    stacked into sharded arrays while leaves shared BY IDENTITY across every
+    sub-read (a common source frame) stay replicated — one copy per device,
+    not one per plane."""
+    read: BatchRead = pipeline.read
+    n_planes = len(read.ops)
+    if n_planes % nsh:
+        raise ValueError(f"plane count {n_planes} must divide mesh size {nsh}")
+    local_n = n_planes // nsh
+    if backend == ParBackend.AUTO:
+        backend = ParBackend.XLA if jax.default_backend() != "tpu" else ParBackend.PALLAS
+
+    sub = [jax.tree_util.tree_flatten(o) for o in read.ops]
+    sub_defs = {d for _, d in sub}
+    if len(sub_defs) != 1:
+        raise NotImplementedError(
+            "BatchRead sharding needs structurally identical sub-reads "
+            "(same op types and static fields on every plane)"
+        )
+    sub_def = sub[0][1]
+    n_leaf = len(sub[0][0])
+    shared = tuple(
+        all(sub[z][0][j] is sub[0][0][j] for z in range(n_planes))
+        for j in range(n_leaf)
+    )
+    sub_leaves = tuple(
+        sub[0][0][j] if shared[j]
+        else jnp.stack([jnp.asarray(sub[z][0][j]) for z in range(n_planes)])
+        for j in range(n_leaf)
+    )
+    sub_specs = tuple(P() if shared[j] else P(axis) for j in range(n_leaf))
+
+    rest = dataclasses.replace(pipeline,
+                               read=dataclasses.replace(read, ops=()))
+    rest_lp, rest_def = jax.tree_util.tree_flatten_with_path(rest)
+    rest_leaves = tuple(l for _, l in rest_lp)
+    rest_specs = tuple(P() for _ in rest_lp)  # used_planes/default/chain/write
+
+    out_spec = _write_out_spec(pipeline, axis)
+
+    cache_key = (rest_def, sub_def, shared, n_planes, mesh, backend, axis)
+    jitted = _SHARD_CACHE.get(cache_key)
+    if jitted is None:
+
+        def local_run(sub_lv, rest_lv):
+            p: Pipeline = jax.tree_util.tree_unflatten(rest_def, list(rest_lv))
+            rd = p.read
+            idx = jax.lax.axis_index(axis)
+            ops_local = tuple(
+                jax.tree_util.tree_unflatten(
+                    sub_def,
+                    [sub_lv[j] if shared[j] else sub_lv[j][z]
+                     for j in range(n_leaf)],
+                )
+                for z in range(local_n)
+            )
+            up = rd.used_planes
+            if up is not None:
+                up = jnp.clip(up - idx * local_n, 0, local_n)
+            rd = dataclasses.replace(rd, ops=ops_local, used_planes=up)
+            p = dataclasses.replace(p, read=rd)
+            return _lower_with_backend(p, backend)
+
+        jitted = jax.jit(
+            shard_map(local_run, mesh, in_specs=(sub_specs, rest_specs),
+                      out_specs=out_spec)
+        )
+        _SHARD_CACHE[cache_key] = jitted
+    with mesh:
+        return jitted(sub_leaves, rest_leaves)
 
 
 def scaling_efficiency(images_per_sec_n: float, images_per_sec_1: float, n: int) -> float:

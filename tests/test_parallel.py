@@ -69,6 +69,62 @@ def test_sharded_transposed_layout(rng, mesh8):
     check_float(np.asarray(sharded), single, tol=0, msg="transposed sharded")
 
 
+def test_sharded_warp_batch(rng, mesh8):
+    """BatchRead (warp_batch) sharding: per-plane matrices shard, the shared
+    source frame (same array object on every plane) replicates."""
+    frame = rng.integers(0, 256, (64, 128, 3)).astype(np.uint8)
+    frame = jax.device_put(frame)  # one object shared by all sub-reads
+    mats = [
+        np.array([[1.0, 0.0, float(i)], [0.0, 1.0, float(i) / 2]], np.float32)
+        for i in range(8)
+    ]
+    ops = lambda: [
+        cvgs.warp_batch([frame] * 8, mats, cvgs.Size(32, 16)),
+        cvgs.convert_to(np.float32, alpha=0.5),
+    ]
+    single = np.asarray(cvgs.execute_operations(*ops(), backend=cvgs.ParBackend.XLA))
+    sharded = pmesh.execute_sharded(*ops(), mesh=mesh8, backend=cvgs.ParBackend.XLA)
+    assert sharded.sharding.spec == jax.sharding.PartitionSpec("batch")
+    check_float(np.asarray(sharded), single, tol=0, msg="warp batch sharded")
+
+
+def test_sharded_warp_batch_ragged(rng, mesh8):
+    frame = jax.device_put(rng.integers(0, 256, (64, 128, 3)).astype(np.uint8))
+    mats = [np.array([[1.0, 0.0, float(i)], [0.0, 1.0, 0.0]], np.float32)
+            for i in range(8)]
+    ops = lambda: [
+        cvgs.warp_batch([frame] * 8, mats, cvgs.Size(32, 16),
+                        used_planes=5, default=7.0),
+    ]
+    single = np.asarray(cvgs.execute_operations(*ops(), backend=cvgs.ParBackend.XLA))
+    sharded = np.asarray(
+        pmesh.execute_sharded(*ops(), mesh=mesh8, backend=cvgs.ParBackend.XLA)
+    )
+    check_float(sharded, single, tol=0, msg="ragged warp batch sharded")
+    assert np.all(sharded[5:] == 7.0)
+
+
+def test_sharded_circular_batch_read(rng, mesh8):
+    """CircularBatchRead sharding: the ring replicates, ``first`` rebases per
+    shard; every rotation matches the single-device modular view."""
+    ring = rng.integers(0, 256, (16, 8, 16, 3)).astype(np.uint8)
+    for first in (0, 3, 15):
+        for asc in (True, False):
+            ops = lambda: [
+                cvgs.circular_batch_read(ring, first=first, ascendent=asc),
+                cvgs.convert_to(np.float32, alpha=1.0),
+            ]
+            single = np.asarray(
+                cvgs.execute_operations(*ops(), backend=cvgs.ParBackend.XLA)
+            )
+            sharded = np.asarray(
+                pmesh.execute_sharded(*ops(), mesh=mesh8,
+                                      backend=cvgs.ParBackend.XLA)
+            )
+            check_float(sharded, single, tol=0,
+                        msg=f"circular sharded first={first} asc={asc}")
+
+
 def test_plane_count_must_divide(rng, mesh8):
     frame = rng.integers(0, 256, (296, 384, 3)).astype(np.uint8)
     rects = np.array([[0, 0, 8, 8]] * 6, np.int32)
