@@ -186,36 +186,47 @@ def bench_nv12_6k(rec):
 
 def bench_circular_tensor(rec):
     """32-frame window: resize+normalize the new frame + ring update. Fused =
-    CircularTensor's rolling-offset ring (ONE donated program, no plane
-    copies); baseline = the per-op launch pattern incl. the BATCH-1 concat
+    CircularTensor's rolling-offset ring program (donated one-slot
+    ``dynamic_update_slice`` — no plane copies), measured as DEVICE time via
+    an in-jit unrolled chain of the same program (a host loop over
+    ``ct.update`` is tunnel-dispatch-bound on this rig, ~1 ms/call of pure
+    RTT); baseline = the per-op launch pattern incl. the BATCH-1 concat
     shift (the reference's own pre-fusion timeline, README.md:149-155)."""
-    from cvgpuspeedup_tpu.data.circular_tensor import CircularTensor
-
     rng = np.random.default_rng(2)
     frame = jax.device_put(rng.integers(0, 256, (1080, 1920, 3)).astype(np.uint8))
 
-    ct = CircularTensor(64, 128, 3, 32)
+    ring0 = jnp.zeros((32, 3, 128, 64), jnp.float32)
 
-    def up():
-        ct.update(
-            cvgs.resize(cvgs.image(frame), cvgs.Size(64, 128)),
+    def one_update(ring, slot, fr):
+        pipe = cvgs.build_pipeline(
+            cvgs.resize(cvgs.image(fr), cvgs.Size(64, 128)),
             cvgs.convert_to(np.float32, alpha=1 / 255.0),
-            cvgs.split_tensor(),
         )
+        new = jnp.transpose(pipe.lower(), (2, 0, 1))[None]
+        return jax.lax.dynamic_update_slice_in_dim(ring, new, slot, 0)
 
-    up(); up()
-    sync(ct.snapshot()[0, 0, 0, 0])
+    inner = 20
+
+    @jax.jit
+    def run(ring, fr, seed):
+        for i in range(inner):
+            ring = one_update(ring, (i * 7) % 32,
+                              fr + np.uint8(i) + seed)
+        return ring
+
+    sync(run(ring0, frame, np.uint8(0))[0, 0, 0, 0])
 
     def run_k(k):
-        for _ in range(k):
-            up()
-        sync(ct.snapshot()[0, 0, 0, 0])
+        r = None
+        for j in range(k):
+            r = run(ring0, frame, np.uint8(j % 3))
+        sync(r[0, 0, 0, 0])
 
     diffs = []
     for _ in range(5):
-        t0 = time.perf_counter(); run_k(10); ts = time.perf_counter() - t0
-        t0 = time.perf_counter(); run_k(60); tl = time.perf_counter() - t0
-        diffs.append((tl - ts) / 50)
+        t0 = time.perf_counter(); run_k(1); ts = time.perf_counter() - t0
+        t0 = time.perf_counter(); run_k(5); tl = time.perf_counter() - t0
+        diffs.append(max(tl - ts, 1e-9) / (4 * inner))
     diffs.sort()
     t_fused = diffs[len(diffs) // 2]
 
@@ -241,6 +252,141 @@ def bench_circular_tensor(rec):
           f"{t_base/t_fused:.1f}x", file=sys.stderr)
 
 
+def bench_warp(rec):
+    """Separable-affine warp (the reference's own affine test class,
+    ``tests/warping/test_warping_opencv.cu:92-107``): fused Pallas kernel vs
+    the per-op launch pattern (whose warp stage is XLA per-pixel gathers)."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (1080, 1920, 3)).astype(np.uint8)
+    M = np.array([[0.55, 0.0, 23.0], [0.0, 0.62, 11.0]], np.float32)
+
+    def make():
+        return cvgs.build_pipeline(
+            cvgs.warp(cvgs.image(img), M, cvgs.Size(640, 360)),
+            cvgs.convert_to(np.float32, alpha=1 / 255.0),
+            cvgs.split_tensor(),
+        )
+
+    t_fused, be = diff_time_pipeline(
+        make, lambda l: getattr(l, "ndim", 0) == 2 and l.size > 10**6,
+        inner=20)
+
+    img_dev = jax.device_put(img)
+    op_warp = jax.jit(lambda f: cvgs.execute_operations(
+        cvgs.warp(cvgs.image(f), M, cvgs.Size(640, 360)),
+        backend=cvgs.ParBackend.XLA))
+    op_conv = jax.jit(lambda t: t * np.float32(1 / 255.0))
+    op_split = jax.jit(lambda t: jnp.transpose(t, (2, 0, 1)))
+
+    def step():
+        return op_split(op_conv(op_warp(img_dev)))
+
+    t_base = time_unfused(step, jax.jit(lambda o: o[0, 0, 0]), frames=2)
+    rec.add_case("warp_1080p_separable_affine_normalize_split",
+                 _stats(t_base, 50), _stats(t_fused, 50))
+    print(f"warp 1080p separable affine: fused({be.name}) {t_fused*1e6:.1f} us,"
+          f" unfused {t_base*1e6:.1f} us, {t_base/t_fused:.1f}x",
+          file=sys.stderr)
+
+
+def bench_divergent(rec):
+    """Divergent batch (two per-plane sequences over one circular stack):
+    single-launch Pallas kernel vs the per-sequence launch pattern."""
+    from cvgpuspeedup_tpu.exec import executor, pallas_divergent
+
+    rng = np.random.default_rng(4)
+    H, W, N = 128, 256, 16
+    stack = jax.device_put(rng.integers(0, 256, (N, H, W, 3)).astype(np.uint8))
+    first = jnp.int32(3)
+
+    def seqs():
+        s1 = executor.build_operation_sequence(
+            cvgs.circular_batch_read(stack, first=first),
+            cvgs.convert_to(np.float32, alpha=0.3),
+            cvgs.subtract((1.0, 2.0, 3.0)),
+            cvgs.write_tensor(),
+        )
+        s2 = executor.build_operation_sequence(
+            cvgs.circular_batch_read(stack, first=first),
+            cvgs.convert_to(np.float32, alpha=0.5),
+            cvgs.multiply((2.0, 1.0, 0.5)),
+            cvgs.write_tensor(),
+        )
+        return [s1, s2]
+
+    ids = tuple(1 if z % 2 == 0 else 2 for z in range(N))
+    seq_list = seqs()
+    use_pallas = (jax.default_backend() == "tpu"
+                  and pallas_divergent.supports(seq_list, ids))
+    leaves, treedef = jax.tree_util.tree_flatten(seq_list)
+    idx = next(i for i, l in enumerate(leaves) if getattr(l, "ndim", 0) == 4)
+
+    def lower(sq):
+        if use_pallas:
+            out = pallas_divergent.try_lower(sq, ids, interpret=False)
+            return sq[0].write.write(out)
+        groups = {}
+        for z in range(N):
+            groups.setdefault(ids[z], []).append(z)
+        merged = None
+        for sid, planes in groups.items():
+            s = sq[sid - 1]
+            x = s.read.lower_planes(tuple(planes))
+            for o in s.compute:
+                x = o.apply(x)
+            if merged is None:
+                merged = jnp.zeros((N,) + x.shape[1:], dtype=x.dtype)
+            merged = merged.at[jnp.asarray(planes)].set(x)
+        return sq[0].write.write(merged)
+
+    inner = 50
+
+    @jax.jit
+    def run(ls, seed):
+        tot = jnp.float32(0.0)
+        for i in range(inner):
+            lv = list(ls)
+            lv[idx] = lv[idx] + np.uint8(i) + seed
+            out = lower(jax.tree_util.tree_unflatten(treedef, lv))
+            tot = tot + out[(0,) * out.ndim].astype(jnp.float32)
+        return tot
+
+    dl = [jax.device_put(l) for l in leaves]
+    sync(run(dl, np.uint8(0)))
+
+    def run_k(k):
+        t = None
+        for j in range(k):
+            t = run(dl, np.uint8(j % 3))
+        sync(t)
+
+    diffs = []
+    for _ in range(5):
+        t0 = time.perf_counter(); run_k(1); ts = time.perf_counter() - t0
+        t0 = time.perf_counter(); run_k(5); tl = time.perf_counter() - t0
+        diffs.append(max(tl - ts, 1e-9) / (4 * inner))
+    diffs.sort()
+    t_fused = diffs[len(diffs) // 2]
+
+    # baseline: one device program per sequence + a merge program
+    def step():
+        outs = []
+        for sq in seq_list:
+            leaves_s, treedef_s = jax.tree_util.tree_flatten(sq)
+            outs.append(jax.jit(lambda ls, td=treedef_s: jax.tree_util
+                                .tree_unflatten(td, ls).lower())(leaves_s))
+        mask = jnp.asarray([ids[z] == 1 for z in range(N)])
+        return jax.jit(lambda a, b, m: jnp.where(m[:, None, None, None], a, b))(
+            outs[0], outs[1], mask)
+
+    t_base = time_unfused(step, jax.jit(lambda o: o[0, 0, 0, 0]))
+    rec.add_case("divergent_batch_two_sequences",
+                 _stats(t_base), _stats(t_fused))
+    print(f"divergent batch: fused({'PALLAS' if use_pallas else 'XLA'}) "
+          f"{t_fused*1e6:.1f} us, unfused {t_base*1e6:.1f} us, "
+          f"{t_base/t_fused:.1f}x", file=sys.stderr)
+
+
 def main():
     print(f"backend: {jax.default_backend()}", file=sys.stderr)
     sync(jnp.sum(jnp.ones((8, 8))))  # warm the transfer path
@@ -248,6 +394,8 @@ def main():
     bench_single_1080p(rec)
     bench_nv12_6k(rec)
     bench_circular_tensor(rec)
+    bench_warp(rec)
+    bench_divergent(rec)
     rec.write()
     print("csv -> benchmarks/aux_pipeline_results.csv", file=sys.stderr)
 

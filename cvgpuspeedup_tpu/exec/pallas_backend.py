@@ -750,7 +750,9 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
             win = window[slot]
             if dt.is_integer(win.dtype):
                 # Mosaic has no direct u8->f32 cast (and dynamic rotates need
-                # 32-bit data); widen via int32 first
+                # 32-bit data); widen via int32 first. (An identity-s8 MXU
+                # matmul widen was measured WORSE here — 30.8 vs 20.2
+                # us/batch: this kernel is matmul-unit-bound, not VPU-bound.)
                 win = win.astype(jnp.int32)
             if frame_mode:
                 # remove the lane-start residual with a lane rotate + static

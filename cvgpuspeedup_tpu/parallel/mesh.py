@@ -32,12 +32,17 @@ try:  # jax >= 0.6 exposes shard_map at the top level
     from jax import shard_map as _shard_map_fn
 
     def shard_map(f, mesh, in_specs, out_specs):
-        return _shard_map_fn(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+        # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+        # annotation, and the local body is embarrassingly parallel anyway —
+        # with the default check the sharded PALLAS backend fails to trace
+        return _shard_map_fn(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map_legacy
 
     def shard_map(f, mesh, in_specs, out_specs):
-        return _shard_map_legacy(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+        return _shard_map_legacy(f, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs, check_rep=False)
 
 from ..exec.executor import Pipeline, _lower_with_backend, build_pipeline
 from ..graph import IOp, ReadOp, op, static_field
