@@ -107,7 +107,9 @@ def _stats(t, n=200):
 
 def bench_single_1080p(rec):
     rng = np.random.default_rng(0)
-    img = jax.device_put(rng.integers(0, 256, (1080, 1920, 3)).astype(np.uint8))
+    # HOST frame: the factory ingests it packed — device_put here would lose
+    # the packed layout and reintroduce the 82us/frame on-device relayout
+    img = rng.integers(0, 256, (1080, 1920, 3)).astype(np.uint8)
 
     def make():
         return cvgs.build_pipeline(
@@ -118,9 +120,11 @@ def bench_single_1080p(rec):
             cvgs.split_tensor(),
         )
 
-    t_fused, be = diff_time_pipeline(make, lambda l: getattr(l, "ndim", 0) == 3)
+    t_fused, be = diff_time_pipeline(
+        make, lambda l: getattr(l, "ndim", 0) == 2 and l.size > 10**6)
 
     # unfused: one device program per op (5 dispatches per frame)
+    img_dev = jax.device_put(img)
     op_resize = jax.jit(lambda f: cvgs.execute_operations(
         cvgs.resize(cvgs.image(f), cvgs.Size(640, 360)),
         backend=cvgs.ParBackend.XLA))
@@ -130,7 +134,7 @@ def bench_single_1080p(rec):
     op_split = jax.jit(lambda t: jnp.transpose(t, (2, 0, 1)))
 
     def step():
-        return op_split(op_div(op_sub(op_conv(op_resize(img)))))
+        return op_split(op_div(op_sub(op_conv(op_resize(img_dev)))))
 
     t_base = time_unfused(step, jax.jit(lambda o: o[0, 0, 0]))
     rec.add_case("single_1080p_resize_normalize_split",
@@ -157,8 +161,12 @@ def bench_nv12_6k(rec):
             cvgs.split_tensor(),
         )
 
+    # perturb the normalize scalar, not the 26.5MB buffer: the buffer is
+    # already in its native 2D layout (no relayout), and a per-iteration
+    # buffer add would bill ~65us of pure measurement traffic to the kernel
     t_fused, be = diff_time_pipeline(
-        make, lambda l: getattr(l, "ndim", 0) == 2 and l.size > 10000,
+        make, lambda l: getattr(l, "shape", None) in ((), (1,), (3,))
+        and jnp.result_type(l) == jnp.float32,
         inner=20)
 
     # unfused: YUV->RGB one program, resize another, normalize, split
@@ -369,15 +377,19 @@ def bench_divergent(rec):
     t_fused = diffs[len(diffs) // 2]
 
     # baseline: one device program per sequence + a merge program
+    # (programs jitted ONCE — re-jitting per call would retrace every time)
+    seq_progs = []
+    for sq in seq_list:
+        leaves_s, treedef_s = jax.tree_util.tree_flatten(sq)
+        prog = jax.jit(lambda ls, td=treedef_s: jax.tree_util
+                       .tree_unflatten(td, ls).lower())
+        seq_progs.append((prog, leaves_s))
+    mask = jnp.asarray([ids[z] == 1 for z in range(N)])
+    merge = jax.jit(lambda a, b, m: jnp.where(m[:, None, None, None], a, b))
+
     def step():
-        outs = []
-        for sq in seq_list:
-            leaves_s, treedef_s = jax.tree_util.tree_flatten(sq)
-            outs.append(jax.jit(lambda ls, td=treedef_s: jax.tree_util
-                                .tree_unflatten(td, ls).lower())(leaves_s))
-        mask = jnp.asarray([ids[z] == 1 for z in range(N)])
-        return jax.jit(lambda a, b, m: jnp.where(m[:, None, None, None], a, b))(
-            outs[0], outs[1], mask)
+        outs = [prog(ls) for prog, ls in seq_progs]
+        return merge(outs[0], outs[1], mask)
 
     t_base = time_unfused(step, jax.jit(lambda o: o[0, 0, 0, 0]))
     rec.add_case("divergent_batch_two_sequences",
