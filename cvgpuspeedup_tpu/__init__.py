@@ -175,14 +175,31 @@ def convert_yuv_to_rgb(
 # ---------------------------------------------------------------------------
 
 
-def image(source: ArrayLike) -> ReadOp:
+def image(source: ArrayLike, channels: Optional[int] = None) -> ReadOp:
     """Wrap a packed (H, W, C) / (N, H, W, C) array as a read op
     (``fk::PerThreadRead`` analog).
 
     HOST (numpy) arrays are ingested in packed-lane form — a free row-major
     reshape to (H, W*C) — so the Pallas kernels can DMA the rows directly;
     the same reshape ON DEVICE is a full XLA relayout copy (~82 us at 1080p,
-    more than the fused kernel itself). Device arrays are wrapped as-is."""
+    more than the fused kernel itself). Device arrays are wrapped as-is.
+
+    ``channels=C`` declares an ALREADY-packed (H, W*C) (or (N, H, W*C))
+    buffer — e.g. a raw row-major frame straight from `utils.frameloader`
+    (``frame_shape_packed``) or a device buffer kept in ingest layout; no
+    reshape happens anywhere."""
+    if channels is not None:
+        arr = source if isinstance(source, (jnp.ndarray, jax.core.Tracer)) \
+            else np.asarray(source)
+        if arr.ndim not in (2, 3):
+            raise ValueError("image(channels=) expects packed (H, W*C) or "
+                             "(N, H, W*C) rows")
+        if arr.shape[-1] % channels:
+            raise ValueError(
+                f"packed row length {arr.shape[-1]} is not a multiple of "
+                f"channels={channels}")
+        return ImageRead(data=arr, is_batch=(arr.ndim == 3),
+                         packed_channels=int(channels))
     if (isinstance(source, np.ndarray) and not isinstance(source, jnp.ndarray)
             and source.ndim in (3, 4) and source.shape[-1] > 1):
         c = int(source.shape[-1])

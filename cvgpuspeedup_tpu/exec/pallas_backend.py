@@ -67,7 +67,11 @@ _DEFAULT = jax.lax.Precision.DEFAULT
 #: scheduling knobs (module-level so benchmark ablations can sweep them):
 #: planes per grid step (first divisor of the batch that fits the ring
 #: budget wins) and window-ring depth (slots; depth-1 steps of DMA prefetch)
-_GROUP_CANDIDATES = (5, 4, 3, 2)
+#: P=10 with the lane-aligned (halved) windows: 19.3 vs 21.0 us/batch at
+#: P=5 on the 50-crop config (the round-1 "P=10 is no faster" finding
+#: predates the window halving — the bigger group now fits VMEM comfortably
+#: and gives Mosaic more independent chains to interleave)
+_GROUP_CANDIDATES = (10, 5, 4, 3, 2)
 _RING_SLOTS = 2
 #: benchmark-only kernel ablation (None = real kernel): "floor" = DMA +
 #: trivial write only; "nomassage" = skip the rotate; "nochain" = skip the

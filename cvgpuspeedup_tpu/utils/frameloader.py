@@ -61,6 +61,15 @@ def frame_shape_nv12(width: int, height: int) -> Tuple[int, int]:
     return (height * 3 // 2, width)
 
 
+def frame_shape_packed(width: int, height: int, channels: int = 3) -> Tuple[int, int]:
+    """Packed-lane frame shape — (H, W*C) rows of interleaved pixels, the
+    framework's preferred ingest layout: a raw row-major RGB frame IS this
+    layout already (no host work), and the Pallas kernels DMA it directly,
+    whereas a (H, W, C) device array costs a full XLA relayout copy per frame
+    to repack (see ops.memory.ImageRead.packed_channels)."""
+    return (height, width * channels)
+
+
 class FrameLoader:
     """Iterate frames of a raw frame-sequence file with native prefetch.
 
