@@ -63,7 +63,7 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 _DEFAULT = jax.lax.Precision.DEFAULT
 
 #: total on-chip footprint bound for window rings + weights + blocks
-_VMEM_BUDGET = 10 * 1024 * 1024
+_VMEM_BUDGET = 12 * 1024 * 1024
 #: budget for the baked horizontal matrices (all variants)
 _WH_BUDGET = 6 * 1024 * 1024
 #: benchmark-only kernel ablation (None = real kernel): "floor" = DMA +
@@ -397,21 +397,29 @@ def _build_plan(pipeline) -> Optional[dict]:
             ring += 2 * v_uv["rows_in"] * lanes_total
         out_blk = 2 * out_ch * R * dst_w * out_itemsize
         wv_blk = R * (v_y["rows_in"] + (v_uv["rows_in"] if v_uv else 0)) * 4 * 2
-        # transients: widened window + full-width vertical result (+ hi/lo)
-        trans = v_y["rows_in"] * lanes_total * 4 + 2 * R * lanes_total * 4
-        if v_uv is not None:
-            trans += v_uv["rows_in"] * lanes_total * 4
+        # transients: widened window (NOT materialized on the s8 vertical
+        # path — only the R result rows widen there) + full-width vertical
+        # result (+ hi/lo)
+        s8_likely = src_dtype == jnp.uint8 and v_y["rows_in"] >= R
+        trans = 2 * R * lanes_total * 4
+        for part in (v_y, v_uv):
+            if part is not None:
+                trans += (R if s8_likely else part["rows_in"]) * lanes_total * 4
         if (_FORCE_R is None
                 and ring + out_blk + wv_blk + wh_bytes + trans > _VMEM_BUDGET):
             continue
         n_bands_r = dst_h // R
         # units ~ VPU element-ops (~4e12/s): a grid step's DMA-issue/wait
-        # overhead is ~1 us => ~4M units
+        # overhead is ~1 us => ~4M units. (The 6K NV12 config's old R=24
+        # choice — 95 us vs R=40's 56 us — was NOT a scoring error but the
+        # VMEM estimate rejecting R=40 by budgeting the full widened-window
+        # transient the s8 path never materializes; fixed above.)
         score = n_bands_r * 4_000_000
         for part in (v_y, v_uv):
             if part is None:
                 continue
-            score += n_bands_r * part["rows_in"] * lanes_total * 3
+            widen_rows = R if s8_likely else part["rows_in"]
+            score += n_bands_r * widen_rows * lanes_total * 3
             score += n_bands_r * R * part["rows_in"] * lanes_total // 8
         if best_score is None or score < best_score:
             best_score = score
