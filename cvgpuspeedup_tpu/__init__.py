@@ -500,10 +500,31 @@ def batch_read(
     )
 
 
-def circular_batch_read(data: ArrayLike, first, ascendent: bool = True) -> ReadOp:
+def circular_batch_read(data: ArrayLike, first, ascendent: bool = True,
+                        channels: Optional[int] = None) -> ReadOp:
+    """Temporal ring view (F8). Host (numpy) rings of shape (N, H, W, C)
+    ingest packed — (N, H, W*C) lane rows, free on the host — so the
+    divergent Pallas kernel reads them without a per-call relayout;
+    ``channels=C`` declares an already-packed ring."""
+    packed = 0
+    if channels is not None:
+        arr = data if isinstance(data, (jnp.ndarray, jax.core.Tracer))             else np.asarray(data)
+        if arr.ndim != 3 or arr.shape[-1] % channels:
+            raise ValueError("circular_batch_read(channels=) expects a packed "
+                             "(N, H, W*C) ring")
+        packed = int(channels)
+    elif (isinstance(data, np.ndarray) and not isinstance(data, jnp.ndarray)
+            and data.ndim == 4 and data.shape[-1] > 1):
+        c = int(data.shape[-1])
+        arr = np.ascontiguousarray(data).reshape(
+            data.shape[0], data.shape[1], data.shape[2] * c)
+        packed = c
+    else:
+        arr = data if isinstance(data, (jnp.ndarray, jax.core.Tracer)) else np.asarray(data)
     return CircularBatchRead(
-        data=data if isinstance(data, (jnp.ndarray, jax.core.Tracer)) else np.asarray(data),
-        first=_np_or_traced(first, np.int32), ascendent=ascendent
+        data=arr,
+        first=_np_or_traced(first, np.int32), ascendent=ascendent,
+        packed_channels=packed,
     )
 
 

@@ -84,6 +84,7 @@ def _seq_info(seq) -> Optional[dict]:
         packed = read.packed_channels
     elif isinstance(read, CircularBatchRead):
         src, kind, asc = read.data, "circ", read.ascendent
+        packed = read.packed_channels
     else:
         return None
     if packed:

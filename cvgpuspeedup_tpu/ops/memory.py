@@ -124,23 +124,33 @@ class CircularBatchRead(ReadOp):
     ``(first - z) % N`` (descendent). ``first`` is a runtime scalar.
     """
 
-    data: jnp.ndarray  # (N, H, W, C)
+    data: jnp.ndarray  # (N, H, W, C), or (N, H, W*C) when packed
     first: jnp.ndarray  # scalar int
     ascendent: bool = static_field(default=True)
+    #: >0: ring planes are channel-interleaved (N, H, W*C) rows — see
+    #: ImageRead.packed_channels (packing on device is a relayout copy;
+    #: the factory packs host arrays for free)
+    packed_channels: int = static_field(default=0)
 
     batched = True
+
+    def _unpack(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.packed_channels:
+            c = self.packed_channels
+            return x.reshape(x.shape[:-1] + (x.shape[-1] // c, c))
+        return x
 
     def lower(self) -> jnp.ndarray:
         n = self.data.shape[0]
         z = jnp.arange(n)
         src = (self.first + z) % n if self.ascendent else (self.first - z) % n
-        return jnp.take(self.data, src, axis=0)
+        return self._unpack(jnp.take(self.data, src, axis=0))
 
     def lower_planes(self, planes) -> jnp.ndarray:
         n = self.data.shape[0]
         z = jnp.asarray(planes, jnp.int32)
         src = (self.first + z) % n if self.ascendent else (self.first - z) % n
-        return jnp.take(self.data, src, axis=0)
+        return self._unpack(jnp.take(self.data, src, axis=0))
 
     def describe(self) -> str:
         d = "asc" if self.ascendent else "desc"

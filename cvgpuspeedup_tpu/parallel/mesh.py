@@ -180,7 +180,7 @@ def execute_sharded(
                 first = rd.first + off if rd.ascendent else rd.first - off
                 p = dataclasses.replace(p, read=_LocalRingView(
                     data=rd.data, first=first, ascendent=rd.ascendent,
-                    local_n=local_n,
+                    local_n=local_n, packed_channels=rd.packed_channels,
                 ))
             return _lower_with_backend(p, backend)
 
@@ -199,6 +199,7 @@ class _LocalRingView(ReadOp):
     first: jnp.ndarray
     ascendent: bool = static_field(default=True)
     local_n: int = static_field(default=1)
+    packed_channels: int = static_field(default=0)
 
     batched = True
 
@@ -206,7 +207,11 @@ class _LocalRingView(ReadOp):
         n = self.data.shape[0]
         z = jnp.arange(self.local_n)
         src = (self.first + z) % n if self.ascendent else (self.first - z) % n
-        return jnp.take(self.data, src, axis=0)
+        x = jnp.take(self.data, src, axis=0)
+        if self.packed_channels:
+            c = self.packed_channels
+            x = x.reshape(x.shape[:-1] + (x.shape[-1] // c, c))
+        return x
 
     def describe(self) -> str:
         return f"LocalRingView[{self.local_n}/{self.data.shape[0]}]"
