@@ -304,7 +304,9 @@ def bench_divergent(rec):
 
     rng = np.random.default_rng(4)
     H, W, N = 128, 256, 16
-    stack = jax.device_put(rng.integers(0, 256, (N, H, W, 3)).astype(np.uint8))
+    # HOST stack: the factory packs it to (N, H, W*C) lane rows, so the
+    # divergent kernel reads it without a per-call relayout
+    stack = rng.integers(0, 256, (N, H, W, 3)).astype(np.uint8)
     first = jnp.int32(3)
 
     def seqs():
@@ -327,7 +329,8 @@ def bench_divergent(rec):
     use_pallas = (jax.default_backend() == "tpu"
                   and pallas_divergent.supports(seq_list, ids))
     leaves, treedef = jax.tree_util.tree_flatten(seq_list)
-    idx = next(i for i, l in enumerate(leaves) if getattr(l, "ndim", 0) == 4)
+    idx = next(i for i, l in enumerate(leaves)
+               if getattr(l, "ndim", 0) >= 3 and l.size > 10000)
 
     def lower(sq):
         if use_pallas:

@@ -118,6 +118,76 @@ class temporal_window:
         return self.ring.tensor
 
 
+class video_stream:
+    """End-to-end raw video streaming: native prefetch-ring frame loader ->
+    packed-lane ingestion -> one fused Pallas program per frame.
+
+    The loader yields zero-copy numpy views of raw row-major frames — which
+    IS the packed (H, W*C) lane layout the kernels DMA directly, so no byte
+    is ever reshaped on host or device. ``fmt="nv12"`` streams NV12 buffers
+    through the fused YUV read instead.
+
+    >>> for planar in video_stream("cam.raw", 1920, 1080, dsize=Size(640, 360),
+    ...                            mean=(0.485, 0.456, 0.406),
+    ...                            scale=(0.229, 0.224, 0.225)):
+    ...     model(planar)                       # (C, 360, 640) float32
+    """
+
+    def __init__(
+        self,
+        path: str,
+        width: int,
+        height: int,
+        dsize: Optional[Size] = None,
+        mean: Union[float, Sequence[float]] = 0.0,
+        scale: Union[float, Sequence[float]] = 1.0,
+        alpha: float = 1.0 / 255.0,
+        channels: int = 3,
+        fmt: str = "rgb",
+        standard: ColorStandard = ColorStandard.BT601,
+        color_range: ColorRange = ColorRange.FULL,
+        ring_depth: int = 4,
+        backend: ParBackend = ParBackend.AUTO,
+    ):
+        from ..utils.frameloader import (FrameLoader, frame_shape_nv12,
+                                         frame_shape_packed)
+
+        self.fmt = fmt
+        self.width, self.height, self.channels = width, height, channels
+        self.dsize = dsize or Size(width, height)
+        self.mean, self.scale, self.alpha = mean, scale, alpha
+        self.standard, self.color_range = standard, color_range
+        self.backend = backend
+        shape = (frame_shape_nv12(width, height) if fmt == "nv12"
+                 else frame_shape_packed(width, height, channels))
+        self.loader = FrameLoader(path, shape, np.uint8, ring_depth=ring_depth)
+
+    def _head(self, frame):
+        if self.fmt == "nv12":
+            return resize(
+                fuse(
+                    read_yuv(frame),
+                    convert_yuv_to_rgb(color_range=self.color_range,
+                                       standard=self.standard,
+                                       out_dtype=np.float32),
+                ),
+                self.dsize,
+            )
+        # packed rows pass straight through (channels= declares the layout)
+        return resize(image(frame, channels=self.channels), self.dsize)
+
+    def __iter__(self):
+        for frame in self.loader:
+            yield execute_operations(
+                self._head(frame),
+                convert_to(np.float32, alpha=self.alpha),
+                subtract(self.mean),
+                divide(self.scale),
+                split_tensor(),
+                backend=self.backend,
+            )
+
+
 class camera_pipeline:
     """NV12 camera frame -> RGB(A), optionally fused with a resize
     ("ComputeWhatYouSee": conversion happens inside the fused read)."""
