@@ -384,6 +384,7 @@ def bench_divergent(rec):
     seq_progs = []
     for sq in seq_list:
         leaves_s, treedef_s = jax.tree_util.tree_flatten(sq)
+        leaves_s = [jax.device_put(l) for l in leaves_s]  # upload ONCE
         prog = jax.jit(lambda ls, td=treedef_s: jax.tree_util
                        .tree_unflatten(td, ls).lower())
         seq_progs.append((prog, leaves_s))
