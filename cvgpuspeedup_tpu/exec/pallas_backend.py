@@ -58,7 +58,7 @@ from ..ops.color import (_CODE_INFO, _B2Y, _G2Y, _GRAY_SHIFT, _R2Y,
 from ..ops.memory import (SplitWrite, TensorSplit, TensorSplitPacked,
                           TensorTSplit, TensorWrite, Write2D, pack_factor)
 from ..ops.resize import BatchResizeRead, axis_lerp, letterbox_geometry
-from ..types import AspectRatio, InterpolationType
+from ..types import AspectRatio, InterpolationType, Size
 from ..utils import dtypes as dt
 
 _HIGHEST = jax.lax.Precision.HIGHEST
@@ -79,7 +79,8 @@ _RING_SLOTS = 2
 _ABLATION = None
 
 
-def _exact_bf16_geometry(src_dtype, w_out: int, h_out: int, mode) -> bool:
+def _exact_bf16_geometry(src_dtype, w_out: int, h_out: int, mode,
+                         uniform_wh=None) -> bool:
     """True when the interpolation matmuls can run as single-pass bf16 MXU
     passes with ZERO rounding error (bit-identical to the f32-HIGHEST path).
 
@@ -96,13 +97,34 @@ def _exact_bf16_geometry(src_dtype, w_out: int, h_out: int, mode) -> bool:
     """
     if not (dt.is_integer(src_dtype) and jnp.dtype(src_dtype).itemsize == 1):
         return False
-    if mode != AspectRatio.IGNORE_AR:
-        # letterbox modes resample to the fitted sub-rect: den = 2*new_len is
-        # a per-plane runtime value, not a power of two — weights not exact
-        return False
 
     def pow2_le_128(n: int) -> bool:
         return 0 < n <= 128 and (n & (n - 1)) == 0
+
+    if mode != AspectRatio.IGNORE_AR:
+        # letterbox modes resample to the fitted sub-rect: den = 2*new_len is
+        # a per-plane RUNTIME value in general — not exact. But with a
+        # UNIFORM crop size the sub-rect is static, and when its fitted dims
+        # are powers of two <= 128 the same exactness proof applies (tap
+        # clamping keeps weights in the num/2^k set; background masking is
+        # independent of the matmul path). The aspect-ratio-matched detector
+        # config (60x120 -> 64x128 letterbox) lands here.
+        if uniform_wh is None:
+            return False
+        # numpy mirror of ops.resize.letterbox_geometry's f32 math (the jnp
+        # version is traced under jit even on constants)
+        w_c, h_c = uniform_wh
+        scale = np.float32(h_out) / np.float32(h_c)
+        new_w = int(np.float32(scale * np.float32(w_c)))  # trunc
+        if new_w > w_out:
+            scale2 = np.float32(w_out) / np.float32(w_c)
+            new_w, new_h = w_out, int(np.float32(scale2 * np.float32(h_c)))
+        else:
+            new_h = h_out
+        if mode == AspectRatio.PRESERVE_AR_RN_EVEN:
+            new_w = min(((new_w + 1) // 2) * 2, w_out)
+            new_h = min(((new_h + 1) // 2) * 2, h_out)
+        return pow2_le_128(new_w) and pow2_le_128(new_h)
 
     return pow2_le_128(w_out) and pow2_le_128(h_out)
 
@@ -456,7 +478,8 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
     mode = read.aspect_ratio
 
     out_ch, out_dtype = _chain_out_struct(chain, nch)
-    exact_bf16 = _exact_bf16_geometry(src.dtype, w_out, h_out, mode)
+    exact_bf16 = _exact_bf16_geometry(src.dtype, w_out, h_out, mode,
+                                      read.uniform_wh)
     # row-packing factor: >1 only for the packed write layout
     f_pack = pack_factor(h_out, w_out) if isinstance(write, TensorSplitPacked) else 1
 
