@@ -39,6 +39,8 @@ __all__ = [
     "launch_divergent_batch",
     "clear_cache",
     "debug_mode",
+    "describe_backend",
+    "last_backend",
 ]
 
 import contextlib
@@ -162,15 +164,17 @@ def _lower_with_backend(pipeline: Pipeline, backend: ParBackend):
     return pipeline.lower()
 
 
-def _resolve_auto(pipeline: Pipeline) -> ParBackend:
+def _resolve_auto(pipeline: Pipeline, platform: Optional[str] = None) -> ParBackend:
     """Pick the fastest backend, not just a supported one: ``supports()``
     true does not imply faster — the frame kernel's fixed launch overheads
     lose to XLA on small sources (measured 133 vs 17 us on a 64x128 frame),
     so AUTO applies its profitability gate. An explicit ParBackend.PALLAS
-    request bypasses the gate (``_lower_with_backend`` honors it as-is)."""
+    request bypasses the gate (``_lower_with_backend`` honors it as-is).
+    ``platform`` overrides ``jax.default_backend()`` (used by the sharded
+    executor and by tests that assert the gate's decisions off-TPU)."""
     from . import pallas_backend, pallas_frame, pallas_warp
 
-    backend = jax.default_backend()
+    backend = platform if platform is not None else jax.default_backend()
     if backend == "tpu" and (
         pallas_backend.supports(pipeline)
         or (pallas_frame.supports(pipeline) and pallas_frame.profitable(pipeline))
@@ -178,6 +182,47 @@ def _resolve_auto(pipeline: Pipeline) -> ParBackend:
     ):
         return ParBackend.PALLAS
     return ParBackend.XLA
+
+
+def _emitter_name(pipeline: Pipeline, backend: ParBackend) -> str:
+    """Which lowering ``_lower_with_backend`` will take — same dispatch
+    order, evaluated without tracing."""
+    if backend in (ParBackend.PALLAS, ParBackend.PALLAS_INTERPRET):
+        from . import pallas_backend, pallas_frame, pallas_warp
+
+        suffix = ":interpret" if backend == ParBackend.PALLAS_INTERPRET else ""
+        if pallas_backend.supports(pipeline):
+            return "pallas:batch_resize" + suffix
+        if pallas_frame.supports(pipeline):
+            return "pallas:frame" + suffix
+        if pallas_warp.supports(pipeline):
+            return "pallas:warp" + suffix
+    return "xla"
+
+
+_LAST_BACKEND: Optional[str] = None
+
+
+def describe_backend(*iops: IOp, input: Optional[jnp.ndarray] = None,
+                     backend: ParBackend = ParBackend.AUTO,
+                     platform: Optional[str] = None) -> str:
+    """Report which backend/emitter :func:`execute_operations` would run for
+    this op list — making the kernel geometry gates OBSERVABLE (an odd-height
+    frame silently dropping to the 40x-slower XLA path is a perf cliff users
+    and tests must be able to see). ``platform`` overrides the detected
+    platform for the AUTO resolution (e.g. assert TPU routing from a CPU
+    test). Returns e.g. ``"pallas:batch_resize"``, ``"pallas:warp"``,
+    ``"xla"``."""
+    pipeline = build_pipeline(*iops, input=input)
+    if backend == ParBackend.AUTO:
+        backend = _resolve_auto(pipeline, platform)
+    return _emitter_name(pipeline, backend)
+
+
+def last_backend() -> Optional[str]:
+    """The emitter used by the most recent :func:`execute_operations` /
+    :func:`launch_divergent_batch` call in this process (None before any)."""
+    return _LAST_BACKEND
 
 
 def _compiled(treedef, backend: ParBackend) -> Callable:
@@ -210,6 +255,8 @@ def execute_operations(
         backend = ParBackend.PALLAS_INTERPRET
     if backend == ParBackend.AUTO:
         backend = _resolve_auto(pipeline)
+    global _LAST_BACKEND
+    _LAST_BACKEND = _emitter_name(pipeline, backend)
     leaves, treedef = jax.tree_util.tree_flatten(pipeline)
     return _compiled(treedef, backend)(leaves)
 
@@ -277,6 +324,9 @@ def launch_divergent_batch(
     )
     use_pallas = use_pallas and pallas_divergent.supports(seqs, plane_ids)
     interpret = backend == ParBackend.PALLAS_INTERPRET
+    global _LAST_BACKEND
+    _LAST_BACKEND = ("pallas:divergent" + (":interpret" if interpret else "")
+                     if use_pallas else "xla:divergent")
 
     def run(seq_list):
         if use_pallas:

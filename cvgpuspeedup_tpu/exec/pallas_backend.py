@@ -58,7 +58,7 @@ from ..ops.color import (_CODE_INFO, _B2Y, _G2Y, _GRAY_SHIFT, _R2Y,
 from ..ops.memory import (SplitWrite, TensorSplit, TensorSplitPacked,
                           TensorTSplit, TensorWrite, Write2D, pack_factor)
 from ..ops.resize import BatchResizeRead, axis_lerp, letterbox_geometry
-from ..types import AspectRatio, InterpolationType, Size
+from ..types import AspectRatio, InterpolationType
 from ..utils import dtypes as dt
 
 _HIGHEST = jax.lax.Precision.HIGHEST
@@ -75,8 +75,25 @@ _GROUP_CANDIDATES = (10, 5, 4, 3, 2)
 _RING_SLOTS = 2
 #: benchmark-only kernel ablation (None = real kernel): "floor" = DMA +
 #: trivial write only; "nomassage" = skip the rotate; "nochain" = skip the
-#: pointwise chain. Results are WRONG under any non-None value.
+#: pointwise chain. Results are WRONG under any non-None value, so setting
+#: one requires the CVGS_BENCH_ABLATION env marker (see _check_ablation).
 _ABLATION = None
+
+
+def _check_ablation(knobs) -> None:
+    """Refuse to emit a kernel with a bench-only ablation knob set unless the
+    process is explicitly marked as an ablation run — a stray non-None value
+    would silently produce WRONG results through the public API."""
+    import os
+
+    if any(k is not None for k in knobs) and not os.environ.get(
+        "CVGS_BENCH_ABLATION"
+    ):
+        raise RuntimeError(
+            "a bench-only ablation knob (_ABLATION/_FORCE_R) is set; these "
+            "produce WRONG results. Set CVGS_BENCH_ABLATION=1 to mark an "
+            "ablation benchmark run."
+        )
 
 
 def _exact_bf16_geometry(src_dtype, w_out: int, h_out: int, mode,
@@ -357,6 +374,7 @@ def supports(pipeline) -> bool:
 def try_lower(pipeline, *, interpret: bool = False):
     if not supports(pipeline):
         return None
+    _check_ablation((_ABLATION,))
     return _emit_batch_resize(pipeline, interpret=interpret)
 
 

@@ -83,6 +83,23 @@ def _divisors(n: int):
     return [d for d in range(1, n + 1) if n % d == 0]
 
 
+def _s8_den(wv: np.ndarray):
+    """Dyadic denominator for the s8 vertical pass: the smallest power of two
+    ``D <= 2^10`` with ``wv * D`` integer and ``<= D``, provided the hi
+    nibble fits s8. Returns ``(D, N)`` or None (the kernel then widens the
+    full window — the planner must budget for that)."""
+    for k2 in range(0, 11):
+        D = 1 << k2
+        N = wv * D
+        Nr = np.round(N)
+        if np.array_equal(N, Nr) and Nr.max() <= D:
+            N = Nr.astype(np.int32)
+            if (N >> 4).max() <= 127:
+                return D, N
+            return None
+    return None
+
+
 def _weights_bf16_exact(w: np.ndarray) -> bool:
     """True when every weight AND its complement survives an f32->bf16
     round-trip. Both representable implies w = num/2^k with k <= 8 and
@@ -369,6 +386,12 @@ def _build_plan(pipeline) -> Optional[dict]:
     weight_sets = [h_y["wx"]]
     if h_uv is not None:
         weight_sets.append(h_uv["wx"])
+    # horizontal exactness is R-independent; the R selection loop combines it
+    # with each candidate's vertical weights to decide whether the kernel
+    # would actually take the s8 vertical path (widening only R rows) —
+    # discounting the widened-window transient on any other path would
+    # under-budget VMEM and pick an R whose true footprint fails Mosaic
+    exact_h = exact and all(_weights_bf16_exact(w) for w in weight_sets)
 
     # vertical plan: pick the band height R (| dst_h) by a work model, not
     # just "largest that fits" — the per-band overheads shrink with R while
@@ -399,12 +422,25 @@ def _build_plan(pipeline) -> Optional[dict]:
         wv_blk = R * (v_y["rows_in"] + (v_uv["rows_in"] if v_uv else 0)) * 4 * 2
         # transients: widened window (NOT materialized on the s8 vertical
         # path — only the R result rows widen there) + full-width vertical
-        # result (+ hi/lo)
-        s8_likely = src_dtype == jnp.uint8 and v_y["rows_in"] >= R
+        # result (+ hi/lo). The s8 discount applies per part only under the
+        # conditions finish()/the kernel actually use: exact weights (this
+        # R's vertical set included), vertical-first order, and a dyadic
+        # denominator — a u8 source with float outputs or non-dyadic weights
+        # still widens the FULL window.
+        exact_cand = exact_h and all(
+            _weights_bf16_exact(p["wy"]) for p in (v_y, v_uv) if p is not None
+        )
+        order_v = exact_cand and v_y["rows_in"] > R
+
+        def _s8_part(part):
+            return (order_v and part["rows_in"] >= R
+                    and _s8_den(part["wv"]) is not None)
+
         trans = 2 * R * lanes_total * 4
         for part in (v_y, v_uv):
             if part is not None:
-                trans += (R if s8_likely else part["rows_in"]) * lanes_total * 4
+                trans += (R if _s8_part(part) else part["rows_in"]) \
+                    * lanes_total * 4
         if (_FORCE_R is None
                 and ring + out_blk + wv_blk + wh_bytes + trans > _VMEM_BUDGET):
             continue
@@ -418,7 +454,7 @@ def _build_plan(pipeline) -> Optional[dict]:
         for part in (v_y, v_uv):
             if part is None:
                 continue
-            widen_rows = R if s8_likely else part["rows_in"]
+            widen_rows = R if _s8_part(part) else part["rows_in"]
             score += n_bands_r * widen_rows * lanes_total * 3
             score += n_bands_r * R * part["rows_in"] * lanes_total // 8
         if best_score is None or score < best_score:
@@ -478,15 +514,9 @@ def _build_plan(pipeline) -> Optional[dict]:
             # nibbles (two s8 matmuls, or one when all N <= 15); the f32
             # result times 1/den (power of two) is the exact rational value
             # the bf16 widen path produces.
-            den = None
-            for k2 in range(0, 11):
-                D = 1 << k2
-                N = wv * D
-                Nr = np.round(N)
-                if np.array_equal(N, Nr) and Nr.max() <= D:
-                    den, N = D, Nr.astype(np.int32)
-                    break
-            if den is not None and (N >> 4).max() <= 127:
+            s8 = _s8_den(wv)
+            if s8 is not None:
+                den, N = s8
                 hi, lo = (N >> 4).astype(np.int8), (N & 15).astype(np.int8)
                 part["s8"] = dict(den=den, use_hi=bool(hi.any()))
                 wv = np.stack([hi, lo], axis=1)  # (n_bands, 2, R, rows_in)
@@ -563,6 +593,9 @@ def profitable(pipeline) -> bool:
 def try_lower(pipeline, *, interpret: bool = False):
     if not supports(pipeline):
         return None
+    from .pallas_backend import _check_ablation
+
+    _check_ablation((_ABLATION, _FORCE_R))
     return _emit_frame_resize(pipeline, _plan_of(pipeline), interpret=interpret)
 
 

@@ -31,20 +31,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 try:  # jax >= 0.6 exposes shard_map at the top level
     from jax import shard_map as _shard_map_fn
 
-    def shard_map(f, mesh, in_specs, out_specs):
-        # check_vma=False: pallas_call outputs carry no varying-mesh-axes
-        # annotation, and the local body is embarrassingly parallel anyway —
-        # with the default check the sharded PALLAS backend fails to trace
+    def shard_map(f, mesh, in_specs, out_specs, check=True):
+        # check=False only for Pallas bodies: pallas_call outputs carry no
+        # varying-mesh-axes annotation, so the default check fails to trace
+        # there. XLA bodies keep the replication-safety net (an in/out spec
+        # mistake is a trace-time error instead of silently wrong results).
         return _shard_map_fn(f, mesh=mesh, in_specs=in_specs,
-                             out_specs=out_specs, check_vma=False)
+                             out_specs=out_specs, check_vma=check)
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map_legacy
 
-    def shard_map(f, mesh, in_specs, out_specs):
+    def shard_map(f, mesh, in_specs, out_specs, check=True):
         return _shard_map_legacy(f, mesh=mesh, in_specs=in_specs,
-                                 out_specs=out_specs, check_rep=False)
+                                 out_specs=out_specs, check_rep=check)
 
-from ..exec.executor import Pipeline, _lower_with_backend, build_pipeline
+from ..exec.executor import (Pipeline, _lower_with_backend, _resolve_auto,
+                             build_pipeline)
 from ..graph import IOp, ReadOp, op, static_field
 from ..ops.memory import (BatchRead, CircularBatchRead, ImageRead, SplitWrite,
                           TensorTSplit)
@@ -151,7 +153,12 @@ def execute_sharded(
     local_n = n_planes // nsh
 
     if backend == ParBackend.AUTO:
-        backend = ParBackend.XLA if jax.default_backend() != "tpu" else ParBackend.PALLAS
+        # the same profitability gate as the unsharded executor: supports()
+        # true does not imply faster (a sharded small-frame pipeline must
+        # route to XLA too). The gates depend on per-plane/frame geometry,
+        # not plane count, so the global pipeline is representative of a
+        # local shard.
+        backend = _resolve_auto(pipeline)
 
     leaves_path, treedef = jax.tree_util.tree_flatten_with_path(pipeline)
     specs = tuple(_leaf_spec(path, axis, read) for path, _ in leaves_path)
@@ -184,7 +191,10 @@ def execute_sharded(
                 ))
             return _lower_with_backend(p, backend)
 
-        jitted = jax.jit(shard_map(local_run, mesh, in_specs=specs, out_specs=out_spec))
+        jitted = jax.jit(shard_map(
+            local_run, mesh, in_specs=specs, out_specs=out_spec,
+            check=backend not in (ParBackend.PALLAS, ParBackend.PALLAS_INTERPRET),
+        ))
         _SHARD_CACHE[cache_key] = jitted
     with mesh:
         return jitted(*leaves)
@@ -230,7 +240,7 @@ def _execute_sharded_batchread(pipeline: Pipeline, mesh: Mesh, axis: str,
         raise ValueError(f"plane count {n_planes} must divide mesh size {nsh}")
     local_n = n_planes // nsh
     if backend == ParBackend.AUTO:
-        backend = ParBackend.XLA if jax.default_backend() != "tpu" else ParBackend.PALLAS
+        backend = _resolve_auto(pipeline)  # profitability-gated, like unsharded
 
     sub = [jax.tree_util.tree_flatten(o) for o in read.ops]
     sub_defs = {d for _, d in sub}
@@ -285,7 +295,9 @@ def _execute_sharded_batchread(pipeline: Pipeline, mesh: Mesh, axis: str,
 
         jitted = jax.jit(
             shard_map(local_run, mesh, in_specs=(sub_specs, rest_specs),
-                      out_specs=out_spec)
+                      out_specs=out_spec,
+                      check=backend not in (ParBackend.PALLAS,
+                                            ParBackend.PALLAS_INTERPRET))
         )
         _SHARD_CACHE[cache_key] = jitted
     with mesh:
