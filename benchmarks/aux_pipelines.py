@@ -38,13 +38,46 @@ from cvgpuspeedup_tpu.utils.profiling import BenchmarkRecorder, TimingStats
 from cvgpuspeedup_tpu.utils.profiling import transfer_sync as sync
 
 
+def robust_diffs(run_k, inner, k_small, k_large, reps=5):
+    """Per-rep per-iteration differential samples, with clamp REJECTION.
+
+    A differential whose signal (``T(k_large) - T(k_small)``) is under 1 ms
+    sits inside the sync jitter: it is a failed measurement, not a data
+    point. Earlier code clamped it to 1e-9 and wrote a physically impossible
+    CSV row (5 ps "fused time", 5.6e8x "speedup"); now the rep is rejected
+    and retried with a doubled k_large. Raises if no usable signal emerges.
+    Returns the full sample list (real var/min/max for the CSV, matching the
+    reference's multi-iteration stats contract, testsCommon.cuh:122-195)."""
+    diffs = []
+    k_l = k_large
+    attempts = 0
+    while len(diffs) < reps and attempts < 3 * reps:
+        attempts += 1
+        t0 = time.perf_counter(); run_k(k_small)
+        ts = time.perf_counter() - t0
+        t0 = time.perf_counter(); run_k(k_l)
+        tl = time.perf_counter() - t0
+        if tl - ts < 1e-3:
+            k_l *= 2
+            print(f"  [bench] differential collapsed ({(tl-ts)*1e3:.2f} ms "
+                  f"signal); retrying with k_large={k_l}", file=sys.stderr)
+            continue
+        diffs.append((tl - ts) / ((k_l - k_small) * inner))
+    if not diffs:
+        raise RuntimeError(
+            "differential timing never produced a usable (>1 ms) signal; "
+            "raise inner/k_large for this case")
+    return diffs
+
+
 def diff_time_pipeline(make_pipeline, perturb_leaf, inner=50, k_small=1,
                        k_large=5, reps=5, backend=None):
-    """Differential device time of one fused pipeline execution.
+    """Differential device-time samples of one fused pipeline execution.
 
     ``make_pipeline()`` returns the Pipeline; ``perturb_leaf(leaf)`` is True
     for the leaf to shift per iteration (defeats CSE). ``backend=None`` uses
-    the executor's AUTO resolution (profitability-gated Pallas on TPU)."""
+    the executor's AUTO resolution (profitability-gated Pallas on TPU).
+    Returns (samples, backend)."""
     from cvgpuspeedup_tpu.exec.executor import _lower_with_backend, _resolve_auto
 
     pipe = make_pipeline()
@@ -76,33 +109,34 @@ def diff_time_pipeline(make_pipeline, perturb_leaf, inner=50, k_small=1,
             t = run(dl, np.uint8(j % 3))
         sync(t)
 
-    diffs = []
-    for _ in range(reps):
-        t0 = time.perf_counter(); run_k(k_small)
-        ts = time.perf_counter() - t0
-        t0 = time.perf_counter(); run_k(k_large)
-        tl = time.perf_counter() - t0
-        diffs.append(max(tl - ts, 1e-9) / ((k_large - k_small) * inner))
-    diffs.sort()
-    return diffs[len(diffs) // 2], be
+    return robust_diffs(run_k, inner, k_small, k_large, reps), be
 
 
 def time_unfused(step_fn, probe_fn, reps=3, frames=5):
-    """End-to-end time of a per-op dispatch loop (the unfused launch
-    pattern), synced once per measurement."""
+    """Differential end-to-end samples of a per-op dispatch loop (the unfused
+    launch pattern): per rep, time `frames` and `3*frames` dispatch loops to
+    one sync each and difference out the constant sync latency."""
     probe_fn(step_fn())  # compile + warm
-    sync(probe_fn(step_fn()))
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(reps):
-        for _ in range(frames):
+
+    def run_f(n):
+        out = None
+        for _ in range(n):
             out = step_fn()
-    sync(probe_fn(out))
-    return (time.perf_counter() - t0) / (reps * frames)
+        sync(probe_fn(out))
+
+    run_f(1)
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter(); run_f(frames)
+        ts = time.perf_counter() - t0
+        t0 = time.perf_counter(); run_f(3 * frames)
+        tl = time.perf_counter() - t0
+        samples.append(max(tl - ts, 0.0) / (2 * frames))
+    return samples
 
 
-def _stats(t, n=200):
-    return TimingStats(t, 0, t, t, n)
+def _median(samples):
+    return sorted(samples)[len(samples) // 2]
 
 
 def bench_single_1080p(rec):
@@ -120,8 +154,9 @@ def bench_single_1080p(rec):
             cvgs.split_tensor(),
         )
 
-    t_fused, be = diff_time_pipeline(
+    s_fused, be = diff_time_pipeline(
         make, lambda l: getattr(l, "ndim", 0) == 2 and l.size > 10**6)
+    t_fused = _median(s_fused)
 
     # unfused: one device program per op (5 dispatches per frame)
     img_dev = jax.device_put(img)
@@ -136,9 +171,11 @@ def bench_single_1080p(rec):
     def step():
         return op_split(op_div(op_sub(op_conv(op_resize(img_dev)))))
 
-    t_base = time_unfused(step, jax.jit(lambda o: o[0, 0, 0]))
+    s_base = time_unfused(step, jax.jit(lambda o: o[0, 0, 0]))
+    t_base = _median(s_base)
     rec.add_case("single_1080p_resize_normalize_split",
-                 _stats(t_base), _stats(t_fused))
+                 TimingStats.from_samples(s_base),
+                 TimingStats.from_samples(s_fused))
     print(f"1080p resize+normalize+split: fused({be.name}) {t_fused*1e6:.1f} us"
           f" ({1/t_fused:.0f} fps), unfused {t_base*1e6:.1f} us, "
           f"{t_base/t_fused:.1f}x", file=sys.stderr)
@@ -164,10 +201,11 @@ def bench_nv12_6k(rec):
     # perturb the normalize scalar, not the 26.5MB buffer: the buffer is
     # already in its native 2D layout (no relayout), and a per-iteration
     # buffer add would bill ~65us of pure measurement traffic to the kernel
-    t_fused, be = diff_time_pipeline(
+    s_fused, be = diff_time_pipeline(
         make, lambda l: getattr(l, "shape", None) in ((), (1,), (3,))
         and jnp.result_type(l) == jnp.float32,
         inner=20)
+    t_fused = _median(s_fused)
 
     # unfused: YUV->RGB one program, resize another, normalize, split
     op_yuv = jax.jit(lambda b: cvgs.execute_operations(
@@ -184,9 +222,11 @@ def bench_nv12_6k(rec):
     def step():
         return op_split(op_mul(op_resize(op_yuv(buf))))
 
-    t_base = time_unfused(step, jax.jit(lambda o: o[0, 0, 0]), frames=3)
+    s_base = time_unfused(step, jax.jit(lambda o: o[0, 0, 0]), frames=3)
+    t_base = _median(s_base)
     rec.add_case("nv12_6k_to_1080p_rgb_normalize",
-                 _stats(t_base, 50), _stats(t_fused, 50))
+                 TimingStats.from_samples(s_base),
+                 TimingStats.from_samples(s_fused))
     print(f"6K NV12 -> 1080p RGB normalize: fused({be.name}) "
           f"{t_fused*1e6:.1f} us ({1/t_fused:.0f} fps), unfused "
           f"{t_base*1e6:.1f} us, {t_base/t_fused:.1f}x", file=sys.stderr)
@@ -230,13 +270,8 @@ def bench_circular_tensor(rec):
             r = run(ring0, frame, np.uint8(j % 3))
         sync(r[0, 0, 0, 0])
 
-    diffs = []
-    for _ in range(5):
-        t0 = time.perf_counter(); run_k(1); ts = time.perf_counter() - t0
-        t0 = time.perf_counter(); run_k(5); tl = time.perf_counter() - t0
-        diffs.append(max(tl - ts, 1e-9) / (4 * inner))
-    diffs.sort()
-    t_fused = diffs[len(diffs) // 2]
+    s_fused = robust_diffs(run_k, inner, 1, 5)
+    t_fused = _median(s_fused)
 
     # unfused: resize / convert / split / shift as separate programs
     op_resize = jax.jit(lambda f: cvgs.execute_operations(
@@ -252,9 +287,11 @@ def bench_circular_tensor(rec):
     def step():
         return op_shift(ring, op_split(op_conv(op_resize(frame))))
 
-    t_base = time_unfused(step, jax.jit(lambda o: o[0, 0, 0, 0]))
+    s_base = time_unfused(step, jax.jit(lambda o: o[0, 0, 0, 0]))
+    t_base = _median(s_base)
     rec.add_case("circular_tensor_32_update",
-                 _stats(t_base), _stats(t_fused))
+                 TimingStats.from_samples(s_base),
+                 TimingStats.from_samples(s_fused))
     print(f"CircularTensor-32 update: fused ring {t_fused*1e6:.1f} us "
           f"({1/t_fused:.0f} updates/s), unfused {t_base*1e6:.1f} us, "
           f"{t_base/t_fused:.1f}x", file=sys.stderr)
@@ -275,9 +312,10 @@ def bench_warp(rec):
             cvgs.split_tensor(),
         )
 
-    t_fused, be = diff_time_pipeline(
+    s_fused, be = diff_time_pipeline(
         make, lambda l: getattr(l, "ndim", 0) == 2 and l.size > 10**6,
         inner=20)
+    t_fused = _median(s_fused)
 
     img_dev = jax.device_put(img)
     op_warp = jax.jit(lambda f: cvgs.execute_operations(
@@ -289,9 +327,11 @@ def bench_warp(rec):
     def step():
         return op_split(op_conv(op_warp(img_dev)))
 
-    t_base = time_unfused(step, jax.jit(lambda o: o[0, 0, 0]), frames=2)
+    s_base = time_unfused(step, jax.jit(lambda o: o[0, 0, 0]), frames=2)
+    t_base = _median(s_base)
     rec.add_case("warp_1080p_separable_affine_normalize_split",
-                 _stats(t_base, 50), _stats(t_fused, 50))
+                 TimingStats.from_samples(s_base),
+                 TimingStats.from_samples(s_fused))
     print(f"warp 1080p separable affine: fused({be.name}) {t_fused*1e6:.1f} us,"
           f" unfused {t_base*1e6:.1f} us, {t_base/t_fused:.1f}x",
           file=sys.stderr)
@@ -371,13 +411,8 @@ def bench_divergent(rec):
             t = run(dl, np.uint8(j % 3))
         sync(t)
 
-    diffs = []
-    for _ in range(5):
-        t0 = time.perf_counter(); run_k(1); ts = time.perf_counter() - t0
-        t0 = time.perf_counter(); run_k(5); tl = time.perf_counter() - t0
-        diffs.append(max(tl - ts, 1e-9) / (4 * inner))
-    diffs.sort()
-    t_fused = diffs[len(diffs) // 2]
+    s_fused = robust_diffs(run_k, inner, 1, 5)
+    t_fused = _median(s_fused)
 
     # baseline: one device program per sequence + a merge program
     # (programs jitted ONCE — re-jitting per call would retrace every time)
@@ -395,9 +430,11 @@ def bench_divergent(rec):
         outs = [prog(ls) for prog, ls in seq_progs]
         return merge(outs[0], outs[1], mask)
 
-    t_base = time_unfused(step, jax.jit(lambda o: o[0, 0, 0, 0]))
+    s_base = time_unfused(step, jax.jit(lambda o: o[0, 0, 0, 0]))
+    t_base = _median(s_base)
     rec.add_case("divergent_batch_two_sequences",
-                 _stats(t_base), _stats(t_fused))
+                 TimingStats.from_samples(s_base),
+                 TimingStats.from_samples(s_fused))
     print(f"divergent batch: fused({'PALLAS' if use_pallas else 'XLA'}) "
           f"{t_fused*1e6:.1f} us, unfused {t_base*1e6:.1f} us, "
           f"{t_base/t_fused:.1f}x", file=sys.stderr)
@@ -412,6 +449,12 @@ def main():
     bench_circular_tensor(rec)
     bench_warp(rec)
     bench_divergent(rec)
+    # physically-impossible rows must never reach the committed artifact
+    # (VERDICT r2 weak #2: a clamped differential once wrote a 5 ps row)
+    for row in rec.rows:
+        assert row["fused_mean_s"] > 1e-7, f"impossible fused time: {row}"
+        assert row["mean_speedup"] < 1e4, f"impossible speedup: {row}"
+        assert row["fused_var"] > 0, f"single-rep row (var=0): {row}"
     rec.write()
     print("csv -> benchmarks/aux_pipeline_results.csv", file=sys.stderr)
 
