@@ -558,6 +558,7 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
     # values) and feed them as VMEM inputs with a constant index map, so
     # Mosaic fetches them once per launch instead of rebuilding per plane
     weight_consts = None
+    vfirst = None  # exact VERTICAL-FIRST s8 schedule (see below)
     if read.uniform_wh is not None:
         w_c, h_c = int(read.uniform_wh[0]), int(read.uniform_wh[1])
         # dy residual range: unclamped starts give dy = y0 % 8 <= 7, but a
@@ -582,16 +583,6 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
         qy = row - oy_c
         iy0, iy1, wy = _axis_lerp_static(qy, h_c, new_h_c)
         row_in = ((qy >= 0) & (qy < new_h_c)).astype(np.float32)
-        wv_rows = []
-        for d in range(n_dy):
-            m = (
-                (ky == iy0[:, None] + d) * (one - wy[:, None])
-                + (ky == iy1[:, None] + d) * wy[:, None]
-            ).astype(np.float32) * row_in[:, None]
-            if exact_bf16:
-                m = np.concatenate([m, m], axis=1)  # K-dup for [t_hi; t_lo]
-            wv_rows.append(m)
-        wv_const = np.stack(wv_rows)  # (n_dy, h_out, win_h or 2*win_h)
         col2 = np.arange(nch * w_out, dtype=np.int64)
         xo2 = col2 % w_out
         cc2 = col2 // w_out
@@ -606,16 +597,74 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
              + (kx == ix1[None, :]) * wx[None, :])
             * (kc == cc2[None, :])
         ).astype(np.float32) * col_in_c[None, :]
-        # in the exact-bf16 regime the baked weights are bf16-representable
-        # EXACTLY (num/2^k, see _exact_bf16_geometry): bake them as bf16 so
-        # the kernel never casts the big matrices per plane and the
-        # once-per-launch fetch halves
-        wdtype = jnp.bfloat16 if exact_bf16 else jnp.float32
-        weight_consts = (
-            jnp.asarray(wv_const, wdtype),
-            jnp.asarray(wh_const, wdtype),
-            (new_w_c, new_h_c, ox_c, oy_c),
-        )
+        # dyadic vertical denominator: smallest power of two D with wy*D
+        # integral; exists in the exact regime (weights are num / 2*new_h)
+        den_y = None
+        for k2 in range(0, 9):
+            if np.array_equal(wy * (1 << k2), np.round(wy * (1 << k2))):
+                den_y = 1 << k2
+                break
+        if exact_bf16 and den_y is not None:
+            # ---- exact VERTICAL-FIRST s8 schedule ----
+            # The H-first exact path widened the FULL padded window to i32
+            # (for the lane rotate) and ran bf16 matmuls on it. Re-ordering
+            # vertical-first with an s8 MXU vertical pass removes both
+            # serial VPU stages from the hot loop:
+            #   * the vertical dot consumes the raw u8 window directly
+            #     (XOR-bias bitcast, the pallas_frame s8 idiom) — no widen;
+            #   * the dlanes rotate moves the (h_out, lanes) i32 vertical
+            #     RESULT, half (or less) the bytes of the (win_h, lanes)
+            #     window rotate;
+            #   * MXU flops drop ~35% (the Dekker K-duplication lands on the
+            #     cheap pass; h_out < win_h shrinks the expensive one).
+            # Integer vertical numerators stack [hi-nibble; lo-nibble] along
+            # M so ONE s8 dot per plane computes both; the 1/den_y scale is
+            # folded into the baked bf16 H weights (num/2^k — still exact).
+            m_ints = []
+            for d in range(n_dy):
+                n1 = np.round(wy * den_y).astype(np.int32)
+                m = ((ky == iy0[:, None] + d) * (den_y - n1)[:, None]
+                     + (ky == iy1[:, None] + d) * n1[:, None]
+                     ).astype(np.int32) * row_in[:, None].astype(np.int32)
+                m_ints.append(m)
+            m_int = np.stack(m_ints)  # (n_dy, h_out, win_h), entries <= den_y
+            assert (m_int >> 4).max() <= 127
+            wv_s8 = np.concatenate([m_int >> 4, m_int & 15], axis=1).astype(
+                np.int8)  # (n_dy, 2*h_out, win_h)
+            # H weights carry the vertical scale: num_x/(den_x*den_y), exact
+            # bf16 (power-of-two denominators); K-duplicated rows for the
+            # Dekker [t_hi | t_lo] lhs
+            wh_v = (wh_const / np.float32(den_y)).astype(jnp.bfloat16)
+            assert np.array_equal(np.asarray(wh_v, np.float32) * den_y,
+                                  wh_const)
+            wh_dup = np.concatenate([wh_v, wh_v], axis=0)
+            weight_consts = (
+                jnp.asarray(wv_s8),
+                jnp.asarray(wh_dup, jnp.bfloat16),
+                (new_w_c, new_h_c, ox_c, oy_c),
+            )
+            vfirst = dict(den_y=den_y)
+        else:
+            wv_rows = []
+            for d in range(n_dy):
+                m = (
+                    (ky == iy0[:, None] + d) * (one - wy[:, None])
+                    + (ky == iy1[:, None] + d) * wy[:, None]
+                ).astype(np.float32) * row_in[:, None]
+                if exact_bf16:
+                    m = np.concatenate([m, m], axis=1)  # K-dup for [t_hi; t_lo]
+                wv_rows.append(m)
+            wv_const = np.stack(wv_rows)  # (n_dy, h_out, win_h or 2*win_h)
+            # in the exact-bf16 regime the baked weights are bf16-
+            # representable EXACTLY (num/2^k, see _exact_bf16_geometry):
+            # bake them as bf16 so the kernel never casts the big matrices
+            # per plane and the once-per-launch fetch halves
+            wdtype = jnp.bfloat16 if exact_bf16 else jnp.float32
+            weight_consts = (
+                jnp.asarray(wv_const, wdtype),
+                jnp.asarray(wh_const, wdtype),
+                (new_w_c, new_h_c, ox_c, oy_c),
+            )
 
     lanes = geo["lanes"]
     # lane rotates (start-residual removal) are only correct for power-of-two
@@ -775,8 +824,9 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
             if weight_consts is not None:
                 # plane-invariant weights, fetched once per launch; the phase-
                 # stacked vertical matrix selected by this plane's dy residual
-                wv_lhs = wv_ref[dy] if frame_mode else wv_ref[0]
-                wh_all = wh_ref[...]
+                if vfirst is None:
+                    wv_lhs = wv_ref[dy] if frame_mode else wv_ref[0]
+                    wh_all = wh_ref[...]
                 row_ins = []
                 for k in range(f_pack):
                     row = (
@@ -791,6 +841,43 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
                     z, rect_of, h_out, w_out, nch, win_h, core_w, dsize, mode,
                     dy, f_pack,
                 )
+
+            if vfirst is not None:
+                # exact VERTICAL-FIRST s8 schedule (see the baking comment):
+                # one s8 MXU dot on the raw biased window computes both
+                # nibble passes ([hi; lo] stacked along M); the dlanes
+                # rotate then moves only the (h_out, lanes) i32 result.
+                win_x = pltpu.bitcast(
+                    window[slot] ^ jnp.uint8(0x80), jnp.int8)
+                wv2 = wv_ref[dy] if frame_mode else wv_ref[0]
+                acc = jax.lax.dot_general(
+                    wv2, win_x, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )  # (2*h_out, lanes_alloc) i32
+                # true t = 16*hi + lo + 128*rowsum(wv_int); rowsum = den_y on
+                # active rows (inactive letterbox rows are fully masked
+                # downstream, their +128*den_y offset never escapes)
+                t = (acc[:h_out] * 16 + acc[h_out:]
+                     + jnp.int32(128 * vfirst["den_y"]))
+                if frame_mode and _ABLATION != "nomassage":
+                    # lane rotate: pow2 lane count (padded ring), 32-bit data
+                    # — the only shape class tpu.dynamic_rotate handles
+                    # correctly on hardware
+                    t = pltpu.roll(t, -dlanes, 1)
+                t = t[:, : core_w * nch]
+                # Dekker split of the exact 16-bit-significand integers; the
+                # 1/den_y scale rides the baked bf16 H weights
+                tf = t.astype(jnp.float32)
+                t_hi = tf.astype(jnp.bfloat16)
+                t_lo = (tf - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                lhs = jnp.concatenate([t_hi, t_lo], axis=1)
+                vals_all = jax.lax.dot_general(
+                    lhs, wh_ref[...], (((1,), (0,)), ((), ())),
+                    precision=_DEFAULT,
+                    preferred_element_type=jnp.float32,
+                )  # (H_out, C*W_out), phase-stacked rows
+                vals_k = [vals_all[k * hf : (k + 1) * hf] for k in range(f_pack)]
+                return _finish_plane(z, j, vals_k, row_ins, new_w, ox, chain_k)
 
             win = window[slot]
             if dt.is_integer(win.dtype):
@@ -854,7 +941,11 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
 
             # phase k occupies the row block [k*hf, (k+1)*hf)
             vals_k = [vals_all[k * hf : (k + 1) * hf] for k in range(f_pack)]
+            return _finish_plane(z, j, vals_k, row_ins, new_w, ox, chain_k)
 
+        def _finish_plane(z, j, vals_k, row_ins, new_w, ox, chain_k):
+            """Masking (letterbox/ragged), pointwise chain, layout write —
+            shared tail of every resize schedule."""
             needs_mask = (
                 mode != AspectRatio.IGNORE_AR or read.used_planes is not None
             )
