@@ -73,10 +73,13 @@ _DEFAULT = jax.lax.Precision.DEFAULT
 #: and gives Mosaic more independent chains to interleave)
 _GROUP_CANDIDATES = (10, 5, 4, 3, 2)
 _RING_SLOTS = 2
+_RING_BUDGET = 3 * 1024 * 1024  # window-ring VMEM cap (bounds group_p)
 #: benchmark-only kernel ablation (None = real kernel): "floor" = DMA +
 #: trivial write only; "nomassage" = skip the rotate; "nochain" = skip the
-#: pointwise chain. Results are WRONG under any non-None value, so setting
-#: one requires the CVGS_BENCH_ABLATION env marker (see _check_ablation).
+#: pointwise chain; "noh"/"nov"/"nodekker" = skip the horizontal dot / the
+#: vertical dot / the Dekker low half (timing bisection). Results are WRONG
+#: under any non-None value, so setting one requires the CVGS_BENCH_ABLATION
+#: env marker (see _check_ablation).
 _ABLATION = None
 
 
@@ -558,7 +561,6 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
     # values) and feed them as VMEM inputs with a constant index map, so
     # Mosaic fetches them once per launch instead of rebuilding per plane
     weight_consts = None
-    vfirst = None  # exact VERTICAL-FIRST s8 schedule (see below)
     if read.uniform_wh is not None:
         w_c, h_c = int(read.uniform_wh[0]), int(read.uniform_wh[1])
         # dy residual range: unclamped starts give dy = y0 % 8 <= 7, but a
@@ -597,74 +599,31 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
              + (kx == ix1[None, :]) * wx[None, :])
             * (kc == cc2[None, :])
         ).astype(np.float32) * col_in_c[None, :]
-        # dyadic vertical denominator: smallest power of two D with wy*D
-        # integral; exists in the exact regime (weights are num / 2*new_h)
-        den_y = None
-        for k2 in range(0, 9):
-            if np.array_equal(wy * (1 << k2), np.round(wy * (1 << k2))):
-                den_y = 1 << k2
-                break
-        if exact_bf16 and den_y is not None:
-            # ---- exact VERTICAL-FIRST s8 schedule ----
-            # The H-first exact path widened the FULL padded window to i32
-            # (for the lane rotate) and ran bf16 matmuls on it. Re-ordering
-            # vertical-first with an s8 MXU vertical pass removes both
-            # serial VPU stages from the hot loop:
-            #   * the vertical dot consumes the raw u8 window directly
-            #     (XOR-bias bitcast, the pallas_frame s8 idiom) — no widen;
-            #   * the dlanes rotate moves the (h_out, lanes) i32 vertical
-            #     RESULT, half (or less) the bytes of the (win_h, lanes)
-            #     window rotate;
-            #   * MXU flops drop ~35% (the Dekker K-duplication lands on the
-            #     cheap pass; h_out < win_h shrinks the expensive one).
-            # Integer vertical numerators stack [hi-nibble; lo-nibble] along
-            # M so ONE s8 dot per plane computes both; the 1/den_y scale is
-            # folded into the baked bf16 H weights (num/2^k — still exact).
-            m_ints = []
-            for d in range(n_dy):
-                n1 = np.round(wy * den_y).astype(np.int32)
-                m = ((ky == iy0[:, None] + d) * (den_y - n1)[:, None]
-                     + (ky == iy1[:, None] + d) * n1[:, None]
-                     ).astype(np.int32) * row_in[:, None].astype(np.int32)
-                m_ints.append(m)
-            m_int = np.stack(m_ints)  # (n_dy, h_out, win_h), entries <= den_y
-            assert (m_int >> 4).max() <= 127
-            wv_s8 = np.concatenate([m_int >> 4, m_int & 15], axis=1).astype(
-                np.int8)  # (n_dy, 2*h_out, win_h)
-            # H weights carry the vertical scale: num_x/(den_x*den_y), exact
-            # bf16 (power-of-two denominators); K-duplicated rows for the
-            # Dekker [t_hi | t_lo] lhs
-            wh_v = (wh_const / np.float32(den_y)).astype(jnp.bfloat16)
-            assert np.array_equal(np.asarray(wh_v, np.float32) * den_y,
-                                  wh_const)
-            wh_dup = np.concatenate([wh_v, wh_v], axis=0)
-            weight_consts = (
-                jnp.asarray(wv_s8),
-                jnp.asarray(wh_dup, jnp.bfloat16),
-                (new_w_c, new_h_c, ox_c, oy_c),
-            )
-            vfirst = dict(den_y=den_y)
-        else:
-            wv_rows = []
-            for d in range(n_dy):
-                m = (
-                    (ky == iy0[:, None] + d) * (one - wy[:, None])
-                    + (ky == iy1[:, None] + d) * wy[:, None]
-                ).astype(np.float32) * row_in[:, None]
-                if exact_bf16:
-                    m = np.concatenate([m, m], axis=1)  # K-dup for [t_hi; t_lo]
-                wv_rows.append(m)
-            wv_const = np.stack(wv_rows)  # (n_dy, h_out, win_h or 2*win_h)
-            # in the exact-bf16 regime the baked weights are bf16-
-            # representable EXACTLY (num/2^k, see _exact_bf16_geometry):
-            # bake them as bf16 so the kernel never casts the big matrices
-            # per plane and the once-per-launch fetch halves
-            wdtype = jnp.bfloat16 if exact_bf16 else jnp.float32
-            weight_consts = (
-                jnp.asarray(wv_const, wdtype),
-                jnp.asarray(wh_const, wdtype),
-                (new_w_c, new_h_c, ox_c, oy_c),
-            )
+        # (A vertical-first s8 MXU schedule — raw-u8 vertical dot, rotate on
+        # the smaller vertical result — was built and measured here: bit-exact
+        # but 30.9 us vs 19.1 us H-first on hardware. The wide s8 dot over the
+        # full padded lane range plus the i32 rotate between the two matmuls
+        # scheduled worse than the H-first chain; removed.)
+        wv_rows = []
+        for d in range(n_dy):
+            m = (
+                (ky == iy0[:, None] + d) * (one - wy[:, None])
+                + (ky == iy1[:, None] + d) * wy[:, None]
+            ).astype(np.float32) * row_in[:, None]
+            if exact_bf16:
+                m = np.concatenate([m, m], axis=1)  # K-dup for [t_hi; t_lo]
+            wv_rows.append(m)
+        wv_const = np.stack(wv_rows)  # (n_dy, h_out, win_h or 2*win_h)
+        # in the exact-bf16 regime the baked weights are bf16-representable
+        # EXACTLY (num/2^k, see _exact_bf16_geometry): bake them as bf16 so
+        # the kernel never casts the big matrices per plane and the
+        # once-per-launch fetch halves
+        wdtype = jnp.bfloat16 if exact_bf16 else jnp.float32
+        weight_consts = (
+            jnp.asarray(wv_const, wdtype),
+            jnp.asarray(wh_const, wdtype),
+            (new_w_c, new_h_c, ox_c, oy_c),
+        )
 
     lanes = geo["lanes"]
     # lane rotates (start-residual removal) are only correct for power-of-two
@@ -682,7 +641,7 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
     group_p = 1
     for cand in _GROUP_CANDIDATES:
         ring = _RING_SLOTS * cand * win_h * lanes_alloc * src.dtype.itemsize
-        if n_planes % cand == 0 and ring <= 3 * 1024 * 1024:
+        if n_planes % cand == 0 and ring <= _RING_BUDGET:
             group_p = cand
             break
     steps = n_planes // group_p
@@ -824,9 +783,8 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
             if weight_consts is not None:
                 # plane-invariant weights, fetched once per launch; the phase-
                 # stacked vertical matrix selected by this plane's dy residual
-                if vfirst is None:
-                    wv_lhs = wv_ref[dy] if frame_mode else wv_ref[0]
-                    wh_all = wh_ref[...]
+                wv_lhs = wv_ref[dy] if frame_mode else wv_ref[0]
+                wh_all = wh_ref[...]
                 row_ins = []
                 for k in range(f_pack):
                     row = (
@@ -842,62 +800,41 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
                     dy, f_pack,
                 )
 
-            if vfirst is not None:
-                # exact VERTICAL-FIRST s8 schedule (see the baking comment):
-                # one s8 MXU dot on the raw biased window computes both
-                # nibble passes ([hi; lo] stacked along M); the dlanes
-                # rotate then moves only the (h_out, lanes) i32 result.
-                win_x = pltpu.bitcast(
-                    window[slot] ^ jnp.uint8(0x80), jnp.int8)
-                wv2 = wv_ref[dy] if frame_mode else wv_ref[0]
-                acc = jax.lax.dot_general(
-                    wv2, win_x, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )  # (2*h_out, lanes_alloc) i32
-                # true t = 16*hi + lo + 128*rowsum(wv_int); rowsum = den_y on
-                # active rows (inactive letterbox rows are fully masked
-                # downstream, their +128*den_y offset never escapes)
-                t = (acc[:h_out] * 16 + acc[h_out:]
-                     + jnp.int32(128 * vfirst["den_y"]))
-                if frame_mode and _ABLATION != "nomassage":
-                    # lane rotate: pow2 lane count (padded ring), 32-bit data
-                    # — the only shape class tpu.dynamic_rotate handles
-                    # correctly on hardware
-                    t = pltpu.roll(t, -dlanes, 1)
-                t = t[:, : core_w * nch]
-                # Dekker split of the exact 16-bit-significand integers; the
-                # 1/den_y scale rides the baked bf16 H weights
-                tf = t.astype(jnp.float32)
-                t_hi = tf.astype(jnp.bfloat16)
-                t_lo = (tf - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                lhs = jnp.concatenate([t_hi, t_lo], axis=1)
-                vals_all = jax.lax.dot_general(
-                    lhs, wh_ref[...], (((1,), (0,)), ((), ())),
-                    precision=_DEFAULT,
-                    preferred_element_type=jnp.float32,
-                )  # (H_out, C*W_out), phase-stacked rows
-                vals_k = [vals_all[k * hf : (k + 1) * hf] for k in range(f_pack)]
-                return _finish_plane(z, j, vals_k, row_ins, new_w, ox, chain_k)
-
             win = window[slot]
-            if dt.is_integer(win.dtype):
-                # Mosaic has no direct u8->f32 cast (and dynamic rotates need
-                # 32-bit data); widen via int32 first. (An identity-s8 MXU
-                # matmul widen was measured WORSE here — 30.8 vs 20.2
-                # us/batch: this kernel is matmul-unit-bound, not VPU-bound.)
-                win = win.astype(jnp.int32)
             if frame_mode:
                 # remove the lane-start residual with a lane rotate + static
                 # core slice (this also folds in the channel phase of the
                 # 128-lane-aligned start). tpu.dynamic_rotate is ONLY correct
-                # for power-of-two axis sizes (measured: lanes 384/640/768
-                # rotate WRONG on hardware, 128/256/512/1024 right; interpret
-                # mode does not catch it) — hence the pow2-padded window
-                # ring. The dy residual rides the vertical matmul taps
+                # for power-of-two lane counts with 32-bit data (measured:
+                # lanes 384/640/768 rotate WRONG on hardware, 128/256/512/
+                # 1024 right; interpret mode does not catch it) — hence the
+                # pow2-padded window ring. Sub-32-bit windows rotate their
+                # PACKED i32 bitcast view (4 u8 / 2 u16 rows per i32 sublane:
+                # 1/4 resp. 1/2 the rotated elements of the old widen-then-
+                # rotate order, and the widen then touches only the CORE
+                # lanes). Correctness is packing-order independent: the roll
+                # permutes whole lanes and the two bitcasts invert each
+                # other. The dy residual rides the vertical matmul taps
                 # instead: window row counts are not pow2.
                 if _ABLATION != "nomassage":
-                    win = pltpu.roll(win, -dlanes, 1)
+                    if win.dtype.itemsize == 4:
+                        if dt.is_integer(win.dtype):
+                            win = win.astype(jnp.int32)
+                        win = pltpu.roll(win, -dlanes, 1)
+                    else:
+                        v32 = pltpu.bitcast(win, jnp.int32)
+                        win = pltpu.bitcast(
+                            pltpu.roll(v32, -dlanes, 1), win.dtype
+                        )
                 win = win[:, : core_w * nch]
+            if dt.is_integer(win.dtype):
+                # Mosaic has no direct u8->f32 cast; widen via int32 — on the
+                # core lanes only. (An identity-s8 MXU matmul widen was
+                # measured WORSE here — 30.8 vs 20.2 us/batch; a vertical-
+                # first s8 schedule that avoided the widen entirely measured
+                # 30.9 vs 19.1: the kernel is matmul-unit-bound, not
+                # VPU-bound, so keep the MXU passes small and lean.)
+                win = win.astype(jnp.int32)
 
             if exact_bf16:
                 # exact single-pass bf16 MXU path (see _exact_bf16_geometry):
@@ -905,25 +842,40 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
                 # reproduces the f32-HIGHEST result bit-for-bit at ~6x the
                 # rate. The i32 window converts straight to bf16 (values <=
                 # 255: exact); baked weight consts are already bf16.
-                tmp = jax.lax.dot_general(
-                    win.astype(jnp.bfloat16),
-                    wh_all if wh_all.dtype == jnp.bfloat16
-                    else wh_all.astype(jnp.bfloat16),
-                    (((1,), (0,)), ((), ())), precision=_DEFAULT,
-                    preferred_element_type=jnp.float32,
-                )  # (win_h, C*W_out), exact 16-bit-significand values
+                if _ABLATION == "noh":  # timing bisection: skip the H dot
+                    tmp = win[:, : nch * w_out].astype(jnp.float32)
+                else:
+                    tmp = jax.lax.dot_general(
+                        win.astype(jnp.bfloat16),
+                        wh_all if wh_all.dtype == jnp.bfloat16
+                        else wh_all.astype(jnp.bfloat16),
+                        (((1,), (0,)), ((), ())), precision=_DEFAULT,
+                        preferred_element_type=jnp.float32,
+                    )  # (win_h, C*W_out), exact 16-bit-significand values
+                if _ABLATION == "nov":  # timing bisection: skip V dot+Dekker
+                    vals_all = tmp[:h_out]
+                    vals_k = [vals_all[k * hf: (k + 1) * hf]
+                              for k in range(f_pack)]
+                    return _finish_plane(z, j, vals_k, row_ins, new_w, ox,
+                                         chain_k)
                 # Dekker split: tmp == hi + lo exactly, both bf16-exact. The
                 # hi+lo SUM folds into the vertical matmul: lhs duplicated
                 # along K times rhs [t_hi; t_lo] — one dot, every partial sum
                 # still an exact bounded integer multiple of 1/den
                 t_hi = tmp.astype(jnp.bfloat16)
-                t_lo = (tmp - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                rhs = jnp.concatenate([t_hi, t_lo], axis=0)
-                if wv_lhs.dtype == jnp.bfloat16:
-                    lhs = wv_lhs  # baked: already K-duplicated bf16
+                if _ABLATION == "nodekker":  # bisection: drop the low half
+                    rhs = t_hi
+                    lhs = (wv_lhs[:, :win_h]
+                           if wv_lhs.dtype == jnp.bfloat16
+                           else wv_lhs.astype(jnp.bfloat16))
                 else:
-                    wv_b = wv_lhs.astype(jnp.bfloat16)
-                    lhs = jnp.concatenate([wv_b, wv_b], axis=1)
+                    t_lo = (tmp - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                    rhs = jnp.concatenate([t_hi, t_lo], axis=0)
+                    if wv_lhs.dtype == jnp.bfloat16:
+                        lhs = wv_lhs  # baked: already K-duplicated bf16
+                    else:
+                        wv_b = wv_lhs.astype(jnp.bfloat16)
+                        lhs = jnp.concatenate([wv_b, wv_b], axis=1)
                 vals_all = jax.lax.dot_general(
                     lhs, rhs, (((1,), (0,)), ((), ())), precision=_DEFAULT,
                     preferred_element_type=jnp.float32,
