@@ -417,15 +417,24 @@ def warp(
         else:
             nch = int(source.shape[-1])
     from .exec.pallas_warp import scale_buckets
+    from .exec.pallas_warp_general import general_buckets
     from .ops.warp import decompose_inverse_map
 
     terms = decompose_inverse_map(inv, dsize)
+    sep = scale_buckets(inv) if warp_type == WarpType.AFFINE else None
+    gen = (
+        general_buckets(inv)
+        if warp_type == WarpType.AFFINE and sep is None
+        else None
+    )
     return WarpRead(
         source=src,
+        coeffs=jnp.asarray(np.asarray(inv, np.float32).ravel()),
         default=_dt.as_channel_vector(default, nch, np.float32),
         dsize=dsize,
         warp_type=warp_type,
-        sep_buckets=scale_buckets(inv) if warp_type == WarpType.AFFINE else None,
+        sep_buckets=sep,
+        gen_buckets=gen,
         **terms,
     )
 

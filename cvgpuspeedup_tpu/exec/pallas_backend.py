@@ -599,31 +599,39 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
              + (kx == ix1[None, :]) * wx[None, :])
             * (kc == cc2[None, :])
         ).astype(np.float32) * col_in_c[None, :]
-        # (A vertical-first s8 MXU schedule — raw-u8 vertical dot, rotate on
-        # the smaller vertical result — was built and measured here: bit-exact
-        # but 30.9 us vs 19.1 us H-first on hardware. The wide s8 dot over the
-        # full padded lane range plus the i32 rotate between the two matmuls
-        # scheduled worse than the H-first chain; removed.)
+        # (A vertical-first s8 MXU schedule — raw-u8 vertical dot over the
+        # full padded lane range, rotate on the i32 vertical result — was
+        # built and measured here: bit-exact but 30.9 us vs 19.1 us H-first
+        # on hardware. The schedule below is vertical-first done right: the
+        # cheap packed-bitcast rotate first, the per-plane V dot on the CORE
+        # lanes only, and the H dot batched across the plane group.)
         wv_rows = []
         for d in range(n_dy):
             m = (
                 (ky == iy0[:, None] + d) * (one - wy[:, None])
                 + (ky == iy1[:, None] + d) * wy[:, None]
             ).astype(np.float32) * row_in[:, None]
-            if exact_bf16:
-                m = np.concatenate([m, m], axis=1)  # K-dup for [t_hi; t_lo]
             wv_rows.append(m)
-        wv_const = np.stack(wv_rows)  # (n_dy, h_out, win_h or 2*win_h)
+        wv_const = np.stack(wv_rows)  # (n_dy, h_out, win_h)
         # in the exact-bf16 regime the baked weights are bf16-representable
         # EXACTLY (num/2^k, see _exact_bf16_geometry): bake them as bf16 so
         # the kernel never casts the big matrices per plane and the
-        # once-per-launch fetch halves
-        wdtype = jnp.bfloat16 if exact_bf16 else jnp.float32
-        weight_consts = (
-            jnp.asarray(wv_const, wdtype),
-            jnp.asarray(wh_const, wdtype),
-            (new_w_c, new_h_c, ox_c, oy_c),
-        )
+        # once-per-launch fetch halves. The H matrix is K-duplicated for the
+        # Dekker [t_hi | t_lo] lhs of the group-batched horizontal dot.
+        if exact_bf16:
+            weight_consts = (
+                jnp.asarray(wv_const, jnp.bfloat16),
+                jnp.asarray(
+                    np.concatenate([wh_const, wh_const], axis=0), jnp.bfloat16
+                ),
+                (new_w_c, new_h_c, ox_c, oy_c),
+            )
+        else:
+            weight_consts = (
+                jnp.asarray(wv_const, jnp.float32),
+                jnp.asarray(wh_const, jnp.float32),
+                (new_w_c, new_h_c, ox_c, oy_c),
+            )
 
     lanes = geo["lanes"]
     # lane rotates (start-residual removal) are only correct for power-of-two
@@ -737,30 +745,108 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
             )
             return pltpu.make_async_copy(src_slice, dst, sem.at[slot])
 
+        def _rot_core(slot, dlanes):
+            """Window massage: lane-residual rotate (packed-bitcast view for
+            sub-32-bit dtypes) + static core slice. Returns the source-typed
+            core window."""
+            win = window[slot]
+            if frame_mode:
+                if _ABLATION != "nomassage":
+                    if win.dtype.itemsize == 4:
+                        if dt.is_integer(win.dtype):
+                            win = win.astype(jnp.int32)
+                        win = pltpu.roll(win, -dlanes, 1)
+                    else:
+                        v32 = pltpu.bitcast(win, jnp.int32)
+                        win = pltpu.bitcast(
+                            pltpu.roll(v32, -dlanes, 1), win.dtype
+                        )
+                win = win[:, : core_w * nch]
+            return win
+
+        def _floor_write(slot, j):
+            # DMA-in + output-write skeleton only (timing ablation): one
+            # tiny read consumes the window, a VPU fill feeds the write
+            # (u8 scalars can't extract directly — widen a tile first)
+            v0 = window[slot][:8, :128].astype(jnp.int32)[0, 0].astype(
+                jnp.float32)
+            hp = h_out // f_pack
+            seg = jnp.full((hp, f_pack * w_out), v0, jnp.float32)
+            if isinstance(write, (TensorSplit, TensorSplitPacked)):
+                for c in range(out_ch):
+                    out_refs[0][j, c] = seg
+            elif isinstance(write, TensorTSplit):
+                for c in range(out_ch):
+                    out_refs[0][c, j] = seg
+            elif isinstance(write, (TensorWrite, Write2D)):
+                out_refs[0][j] = jnp.stack([seg] * out_ch, axis=-1)
+            else:
+                for c in range(out_ch):
+                    out_refs[c][j] = seg
+
+        def plane_stage1(z, slot, j):
+            """Exact-bf16 baked schedule, per-plane stage: massage + ONE
+            small vertical dot on the core lanes + Dekker split. The
+            horizontal dot is batched across the whole plane group (one
+            M=group_p*h_out matmul) — ten M=128 dots were measured at ~8.5
+            us/batch of pure MXU-latency, the single biggest cost in the
+            round-2 kernel."""
+            if _ABLATION == "floor":
+                _floor_write(slot, j)
+                return None
+            x0 = rect_of(z, 0)
+            y0 = rect_of(z, 1)
+            new_w, new_h, ox, oy = weight_consts[2]
+            if frame_mode:
+                dy = y0 - jnp.minimum((y0 // 8) * 8, src_h - win_h)
+                dlanes = x0 * nch - jnp.minimum(
+                    ((x0 * nch) // 128) * 128, src_lanes - lanes
+                )
+            else:
+                dy = jnp.int32(0)
+                dlanes = jnp.int32(0)
+            hf = h_out // f_pack
+            row_ins = []
+            for k in range(f_pack):
+                row = (
+                    jax.lax.broadcasted_iota(jnp.int32, (hf, 1), 0)
+                    * f_pack + k
+                )
+                row_ins.append(
+                    ((row - oy >= 0) & (row - oy < new_h)).astype(jnp.float32)
+                )
+            win = _rot_core(slot, dlanes)
+            # u8 core -> bf16 (exact: values <= 255); no direct u8->bf16 in
+            # Mosaic, widen via i32
+            win = win.astype(jnp.int32).astype(jnp.bfloat16)
+            wv_lhs = wv_ref[dy] if frame_mode else wv_ref[0]
+            if _ABLATION == "nov":  # timing bisection: skip the V dot
+                t = win[:h_out].astype(jnp.float32)
+            else:
+                # exact vertical pass: num/2^k bf16 weights x u8-valued bf16
+                # window -> every product a <=16-bit-significand value, sums
+                # exact in the f32 accumulator (see _exact_bf16_geometry)
+                t = jax.lax.dot_general(
+                    wv_lhs, win, (((1,), (0,)), ((), ())),
+                    precision=_DEFAULT, preferred_element_type=jnp.float32,
+                )  # (h_out, core_w*nch), exact multiples of 1/den_y
+            # Dekker split: t == hi + lo exactly (hi an 8-bit-significand
+            # head, lo a <=2^8-bounded multiple of 1/den_y — both bf16-exact)
+            t_hi = t.astype(jnp.bfloat16)
+            if _ABLATION == "nodekker":
+                lhs = t_hi
+            else:
+                t_lo = (t - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                lhs = jnp.concatenate([t_hi, t_lo], axis=1)
+            return dict(z=z, lhs=lhs, row_ins=row_ins, new_w=new_w, ox=ox)
+
         def plane_body(z, slot, j):
             """Resize + chain + write for plane z (ring slot `slot`, group
             position `j`). The group_p bodies inside one step are mutually
             independent chains — the scheduler interleaves their VPU and MXU
             work (a single chain leaves one unit idle at every stage)."""
             if _ABLATION == "floor":
-                # DMA-in + output-write skeleton only (timing ablation): one
-                # tiny read consumes the window, a VPU fill feeds the write
-                # (u8 scalars can't extract directly — widen a tile first)
-                v0 = window[slot][:8, :128].astype(jnp.int32)[0, 0].astype(
-                    jnp.float32)
-                hp = h_out // f_pack
-                seg = jnp.full((hp, f_pack * w_out), v0, jnp.float32)
-                if isinstance(write, (TensorSplit, TensorSplitPacked)):
-                    for c in range(out_ch):
-                        out_refs[0][j, c] = seg
-                elif isinstance(write, TensorTSplit):
-                    for c in range(out_ch):
-                        out_refs[0][c, j] = seg
-                elif isinstance(write, (TensorWrite, Write2D)):
-                    out_refs[0][j] = jnp.stack([seg] * out_ch, axis=-1)
-                else:
-                    for c in range(out_ch):
-                        out_refs[c][j] = seg
+                _floor_write(slot, j)
                 return
             x0 = rect_of(z, 0)
             y0 = rect_of(z, 1)
@@ -800,33 +886,7 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
                     dy, f_pack,
                 )
 
-            win = window[slot]
-            if frame_mode:
-                # remove the lane-start residual with a lane rotate + static
-                # core slice (this also folds in the channel phase of the
-                # 128-lane-aligned start). tpu.dynamic_rotate is ONLY correct
-                # for power-of-two lane counts with 32-bit data (measured:
-                # lanes 384/640/768 rotate WRONG on hardware, 128/256/512/
-                # 1024 right; interpret mode does not catch it) — hence the
-                # pow2-padded window ring. Sub-32-bit windows rotate their
-                # PACKED i32 bitcast view (4 u8 / 2 u16 rows per i32 sublane:
-                # 1/4 resp. 1/2 the rotated elements of the old widen-then-
-                # rotate order, and the widen then touches only the CORE
-                # lanes). Correctness is packing-order independent: the roll
-                # permutes whole lanes and the two bitcasts invert each
-                # other. The dy residual rides the vertical matmul taps
-                # instead: window row counts are not pow2.
-                if _ABLATION != "nomassage":
-                    if win.dtype.itemsize == 4:
-                        if dt.is_integer(win.dtype):
-                            win = win.astype(jnp.int32)
-                        win = pltpu.roll(win, -dlanes, 1)
-                    else:
-                        v32 = pltpu.bitcast(win, jnp.int32)
-                        win = pltpu.bitcast(
-                            pltpu.roll(v32, -dlanes, 1), win.dtype
-                        )
-                win = win[:, : core_w * nch]
+            win = _rot_core(slot, dlanes)
             if dt.is_integer(win.dtype):
                 # Mosaic has no direct u8->f32 cast; widen via int32 — on the
                 # core lanes only. (An identity-s8 MXU matmul widen was
@@ -837,45 +897,26 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
                 win = win.astype(jnp.int32)
 
             if exact_bf16:
-                # exact single-pass bf16 MXU path (see _exact_bf16_geometry):
-                # u8 window and num/2^k weights are bf16-exact, so one pass
-                # reproduces the f32-HIGHEST result bit-for-bit at ~6x the
-                # rate. The i32 window converts straight to bf16 (values <=
-                # 255: exact); baked weight consts are already bf16.
-                if _ABLATION == "noh":  # timing bisection: skip the H dot
-                    tmp = win[:, : nch * w_out].astype(jnp.float32)
-                else:
-                    tmp = jax.lax.dot_general(
-                        win.astype(jnp.bfloat16),
-                        wh_all if wh_all.dtype == jnp.bfloat16
-                        else wh_all.astype(jnp.bfloat16),
-                        (((1,), (0,)), ((), ())), precision=_DEFAULT,
-                        preferred_element_type=jnp.float32,
-                    )  # (win_h, C*W_out), exact 16-bit-significand values
-                if _ABLATION == "nov":  # timing bisection: skip V dot+Dekker
-                    vals_all = tmp[:h_out]
-                    vals_k = [vals_all[k * hf: (k + 1) * hf]
-                              for k in range(f_pack)]
-                    return _finish_plane(z, j, vals_k, row_ins, new_w, ox,
-                                         chain_k)
+                # exact bf16 MXU path for NON-uniform rects (per-plane
+                # weights built in-kernel; the uniform/baked case takes
+                # plane_stage1 + the group-batched H dot instead): u8 window
+                # and num/2^k weights are bf16-exact, so bf16 passes
+                # reproduce the f32-HIGHEST result bit-for-bit (see
+                # _exact_bf16_geometry).
+                tmp = jax.lax.dot_general(
+                    win.astype(jnp.bfloat16), wh_all.astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())), precision=_DEFAULT,
+                    preferred_element_type=jnp.float32,
+                )  # (win_h, C*W_out), exact 16-bit-significand values
                 # Dekker split: tmp == hi + lo exactly, both bf16-exact. The
                 # hi+lo SUM folds into the vertical matmul: lhs duplicated
                 # along K times rhs [t_hi; t_lo] — one dot, every partial sum
                 # still an exact bounded integer multiple of 1/den
                 t_hi = tmp.astype(jnp.bfloat16)
-                if _ABLATION == "nodekker":  # bisection: drop the low half
-                    rhs = t_hi
-                    lhs = (wv_lhs[:, :win_h]
-                           if wv_lhs.dtype == jnp.bfloat16
-                           else wv_lhs.astype(jnp.bfloat16))
-                else:
-                    t_lo = (tmp - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                    rhs = jnp.concatenate([t_hi, t_lo], axis=0)
-                    if wv_lhs.dtype == jnp.bfloat16:
-                        lhs = wv_lhs  # baked: already K-duplicated bf16
-                    else:
-                        wv_b = wv_lhs.astype(jnp.bfloat16)
-                        lhs = jnp.concatenate([wv_b, wv_b], axis=1)
+                t_lo = (tmp - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                rhs = jnp.concatenate([t_hi, t_lo], axis=0)
+                wv_b = wv_lhs.astype(jnp.bfloat16)
+                lhs = jnp.concatenate([wv_b, wv_b], axis=1)
                 vals_all = jax.lax.dot_general(
                     lhs, rhs, (((1,), (0,)), ((), ())), precision=_DEFAULT,
                     preferred_element_type=jnp.float32,
@@ -963,8 +1004,39 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
         # re-serialize the independent chains (measured 38 vs 23 us/batch)
         for j in range(group_p):
             plane_dma(s * group_p + j, (s % n_slots) * group_p + j).wait()
-        for j in range(group_p):
-            plane_body(s * group_p + j, (s % n_slots) * group_p + j, j)
+        if exact_bf16 and weight_consts is not None:
+            # baked exact schedule: per-plane vertical dots, then ONE
+            # group-batched horizontal dot (M = group_p*h_out)
+            metas = [
+                plane_stage1(s * group_p + j, (s % n_slots) * group_p + j, j)
+                for j in range(group_p)
+            ]
+            if metas[0] is not None:  # not the floor ablation
+                lhs_all = (
+                    metas[0]["lhs"] if group_p == 1
+                    else jnp.concatenate([m["lhs"] for m in metas], axis=0)
+                )
+                if _ABLATION == "noh":  # bisection: skip the group H dot
+                    vals_grp = lhs_all[:, : nch * w_out].astype(jnp.float32)
+                else:
+                    wh_all = wh_ref[...]  # bf16, K-duplicated [wh; wh]
+                    if _ABLATION == "nodekker":
+                        wh_all = wh_all[: core_w * nch]
+                    vals_grp = jax.lax.dot_general(
+                        lhs_all, wh_all, (((1,), (0,)), ((), ())),
+                        precision=_DEFAULT,
+                        preferred_element_type=jnp.float32,
+                    )  # (group_p*h_out, C*W_out), phase-stacked rows
+                hf = h_out // f_pack
+                for j, m in enumerate(metas):
+                    vals_all = vals_grp[j * h_out : (j + 1) * h_out]
+                    vals_k = [vals_all[k * hf : (k + 1) * hf]
+                              for k in range(f_pack)]
+                    _finish_plane(m["z"], j, vals_k, m["row_ins"],
+                                  m["new_w"], m["ox"], chain_k)
+        else:
+            for j in range(group_p):
+                plane_body(s * group_p + j, (s % n_slots) * group_p + j, j)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
     extra_inputs = []

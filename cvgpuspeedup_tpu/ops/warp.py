@@ -73,25 +73,34 @@ def _sample_constant_border(src_f32, sx, sy, border):
 
 
 def decompose_inverse_map(inv: np.ndarray, dsize: Size):
-    """Split the inverse map into per-axis coordinate term vectors (float64 on
-    host, rounded once to f32) — OpenCV's adelta/bdelta decomposition.
+    """Split the inverse map into per-axis coordinate term vectors — OpenCV's
+    adelta/bdelta decomposition.
 
-    Device-side the coordinate is then ONE f32 add (+ divide for perspective),
-    keeping full precision without float64 on TPU:
+    Device-side the coordinate is then ONE f32 add (+ divide for perspective):
     ``sx(y, x) = col_x[x] + row_x[y]`` etc.
+
+    The term PRODUCTS are computed in float32 (coefficients rounded to f32
+    first, then IEEE f32 multiply/add) so that a kernel can RECOMPUTE any
+    term in-kernel bit-identically from the scalar coefficients — the
+    general-affine Pallas kernel needs per-element ``d*X`` at gathered
+    columns, and a 1-ulp term mismatch at sy ~ 1000 is a 1.2e-4 coordinate
+    shift, i.e. up to ~0.03 of value error against the XLA path. (The f32
+    product is also what the reference's CUDA path effectively computes
+    per-thread.)
     """
     inv = np.asarray(inv, np.float64)
-    xs = np.arange(dsize.width, dtype=np.float64)
-    ys = np.arange(dsize.height, dtype=np.float64)
+    c = inv.astype(np.float32)
+    xs = np.arange(dsize.width, dtype=np.float32)
+    ys = np.arange(dsize.height, dtype=np.float32)
     terms = {
-        "col_x": inv[0, 0] * xs,
-        "row_x": inv[0, 1] * ys + inv[0, 2],
-        "col_y": inv[1, 0] * xs,
-        "row_y": inv[1, 1] * ys + inv[1, 2],
+        "col_x": c[0, 0] * xs,
+        "row_x": c[0, 1] * ys + c[0, 2],
+        "col_y": c[1, 0] * xs,
+        "row_y": c[1, 1] * ys + c[1, 2],
     }
     if inv.shape[0] == 3:
-        terms["col_w"] = inv[2, 0] * xs
-        terms["row_w"] = inv[2, 1] * ys + inv[2, 2]
+        terms["col_w"] = c[2, 0] * xs
+        terms["row_w"] = c[2, 1] * ys + c[2, 2]
     else:
         terms["col_w"] = None
         terms["row_w"] = None
@@ -112,6 +121,7 @@ class WarpRead(ReadOp):
     row_y: jnp.ndarray
     col_w: object  # (W,) or None (affine)
     row_w: object
+    coeffs: jnp.ndarray  # flattened f32-rounded inverse map (6 or 9 values)
     default: jnp.ndarray  # per-channel border value, float32
     dsize: Size = static_field()
     warp_type: WarpType = static_field()
@@ -120,8 +130,14 @@ class WarpRead(ReadOp):
     # the concrete matrix. They size the Pallas warp kernel's static DMA
     # window extents; matrix VALUES stay runtime leaves, so any matrix whose
     # scales stay in the same buckets reuses the compiled kernel. None means
-    # non-separable (rotation/shear/perspective): XLA lowering only.
+    # non-separable (rotation/shear/perspective): the general-affine kernel
+    # (gen_buckets) or the XLA lowering handles it.
     sep_buckets: object = static_field(default=None)
+    # Quantized magnitude buckets (a, e, |b|, |d|, sign b, sign d) for the
+    # NON-separable affine class — sizes the general-affine kernel's static
+    # window extents and candidate counts (exec.pallas_warp_general). None
+    # means out of that kernel's class (perspective, flips, |a| < 2, ...).
+    gen_buckets: object = static_field(default=None)
 
     def lower(self) -> jnp.ndarray:
         src = self.source.lower().astype(jnp.float32)
