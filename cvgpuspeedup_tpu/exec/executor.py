@@ -150,7 +150,8 @@ def clear_cache() -> None:
 
 def _lower_with_backend(pipeline: Pipeline, backend: ParBackend):
     if backend in (ParBackend.PALLAS, ParBackend.PALLAS_INTERPRET):
-        from . import pallas_backend, pallas_frame, pallas_warp
+        from . import (pallas_backend, pallas_frame, pallas_warp,
+                       pallas_warp_general)
 
         interpret = backend == ParBackend.PALLAS_INTERPRET
         lowered = pallas_backend.try_lower(pipeline, interpret=interpret)
@@ -158,6 +159,8 @@ def _lower_with_backend(pipeline: Pipeline, backend: ParBackend):
             lowered = pallas_frame.try_lower(pipeline, interpret=interpret)
         if lowered is None:
             lowered = pallas_warp.try_lower(pipeline, interpret=interpret)
+        if lowered is None:
+            lowered = pallas_warp_general.try_lower(pipeline, interpret=interpret)
         if lowered is not None:
             return lowered
         # fall through: pattern not supported by any Pallas emitter
@@ -172,13 +175,16 @@ def _resolve_auto(pipeline: Pipeline, platform: Optional[str] = None) -> ParBack
     request bypasses the gate (``_lower_with_backend`` honors it as-is).
     ``platform`` overrides ``jax.default_backend()`` (used by the sharded
     executor and by tests that assert the gate's decisions off-TPU)."""
-    from . import pallas_backend, pallas_frame, pallas_warp
+    from . import (pallas_backend, pallas_frame, pallas_warp,
+                   pallas_warp_general)
 
     backend = platform if platform is not None else jax.default_backend()
     if backend == "tpu" and (
         pallas_backend.supports(pipeline)
         or (pallas_frame.supports(pipeline) and pallas_frame.profitable(pipeline))
         or (pallas_warp.supports(pipeline) and pallas_warp.profitable(pipeline))
+        or (pallas_warp_general.supports(pipeline)
+            and pallas_warp_general.profitable(pipeline))
     ):
         return ParBackend.PALLAS
     return ParBackend.XLA
@@ -188,7 +194,8 @@ def _emitter_name(pipeline: Pipeline, backend: ParBackend) -> str:
     """Which lowering ``_lower_with_backend`` will take — same dispatch
     order, evaluated without tracing."""
     if backend in (ParBackend.PALLAS, ParBackend.PALLAS_INTERPRET):
-        from . import pallas_backend, pallas_frame, pallas_warp
+        from . import (pallas_backend, pallas_frame, pallas_warp,
+                       pallas_warp_general)
 
         suffix = ":interpret" if backend == ParBackend.PALLAS_INTERPRET else ""
         if pallas_backend.supports(pipeline):
@@ -197,6 +204,8 @@ def _emitter_name(pipeline: Pipeline, backend: ParBackend) -> str:
             return "pallas:frame" + suffix
         if pallas_warp.supports(pipeline):
             return "pallas:warp" + suffix
+        if pallas_warp_general.supports(pipeline):
+            return "pallas:warp_general" + suffix
     return "xla"
 
 

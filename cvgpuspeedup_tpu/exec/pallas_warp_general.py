@@ -1,0 +1,560 @@
+"""Pallas warp kernel — GENERAL affine warps (rotations and shears).
+
+The reference fuses arbitrary affine inverse maps into its one kernel
+(``include/cvGPUSpeedup.cuh:285-442``; rotation configs exercised at
+``tests/warping/test_warping_opencv.cu:139-271``) — trivial on a
+thread-per-pixel GPU. On TPU the cross terms (``b``, ``d``) are the whole
+problem: every output element needs its own 2x2 source neighborhood, Mosaic
+has no dynamic gather, no per-lane sublane shift, and dynamic lane rotates
+are only correct for pow2/32-bit shapes. The separable kernel
+(:mod:`.pallas_warp`) rejects any map with cross terms; before this module
+those fell to the XLA gather path (measured 7.9 ms for 1080p->640x360 — ~40x
+off the kernel class).
+
+Notation: inverse map ``sx = a*X + b*Y + c``, ``sy = d*X + e*Y + f`` for
+output pixel (X, Y). All coordinate math below is float32 with the exact
+operation shapes of :func:`ops.warp.decompose_inverse_map`, so every floor/
+fraction agrees bit-for-bit with the XLA path (a 1-ulp disagreement at
+sy ~ 1000 is a 1.2e-4 coordinate shift — up to ~3e-2 of value error).
+
+TPU-first design (2D grid over output tiles of R rows x T columns; matrix
+VALUES are runtime leaves — only quantized magnitude buckets of (a, e, |b|,
+|d|) and the signs are static, so jitter within a bucket never recompiles):
+
+1. **Window DMA**: per tile, one (K, L) HBM->VMEM window whose 8-row/128-lane
+   aligned start comes from the tile's corner extremes (affine => extremes at
+   corners, exactly). K, L are static bucket functions.
+2. **Vertical candidate gather (MXU)**: the row index ``iy(r, X)`` varies per
+   ELEMENT (slope d along the row), which no shared matrix can express.
+   Instead ONE one-hot bf16 matmul gathers every candidate row per output
+   row: M axis = (candidate s, output row r) pairs, ``S_v = ceil(|d|(T-1))+3``
+   candidates — the M axis is free real estate on the MXU, and one-hot x
+   u8-valued bf16 is exact.
+3. **Consumer-unique select-lerp (VPU)**: with ``a >= 2`` (>=2x horizontal
+   downscale) each source column is a tap of AT MOST ONE output column per
+   row, so the vertical lerp can run on the (r, source-lane) grid: recover
+   the consumer ``X*(r, l)`` by inverting the SAME f32 floor staircase the
+   forward pass uses (division estimate + exact refinement — consistency by
+   construction), then select among the S_v candidates with the exact
+   ``fy``/border weights. Maps with ``a < 2`` fall back to XLA.
+4. **Lane re-base (one traced roll)**: one pow2-padded f32 lane rotate per
+   tile aligns the lerped row to a per-strip one-hot frame (the traced-roll
+   legal class: pow2 lanes, 32-bit).
+5. **Horizontal gather (MXU)**: per output row the taps sit at
+   ``floor(a*X) + h`` with ``h`` spanning ``S_h = ceil(|b|(R-1))+3`` values
+   (slope b across the band). One N-stacked one-hot matmul per Dekker part
+   computes ALL (h, X, channel) taps; the per-strip one-hot ``G`` is built
+   once per strip into scratch. The lerped values carry full 24-bit f32
+   significands, so the bf16 dots run on a Dekker-3 split (hi+lo+lo2
+   reproduces f32 to ~2^-24 relative — well inside the 1e-4 contract).
+6. Per-element ``fx``/border select-lerp, pointwise chain, planar writes —
+   shared shapes with the separable kernel.
+
+Perspective warps stay on the XLA path (documented; the reference itself
+downgrades perspective border parity to EXPECTED_FAIL,
+``tests/warping/test_warping_opencv.cu:268-270``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.memory import ImageRead, SplitWrite, TensorSplit
+from ..ops.warp import WarpRead, WarpType
+from ..utils import dtypes as dt
+from .pallas_backend import _ScalarVec, _apply_chain_planar, _chain_out_struct
+
+_DEFAULT = jax.lax.Precision.DEFAULT
+
+_VMEM_BUDGET = 12 * 1024 * 1024
+_MAX_SV = 56   # vertical candidate cap (beyond: tilt too steep for this tiling)
+_MAX_SH = 18   # horizontal candidate cap
+_FORCE_RT = None  # bench-only (R, T) override for tiling sweeps
+
+
+
+def _rmul(a, b, zero):
+    """``fl(a*b)`` robust to FMA contraction.
+
+    The XLA warp path consumes PREBAKED f32 products (decompose_inverse_map);
+    LLVM contracts an in-jit ``a*b + c`` into an FMA (fy/fx then shift by ~1
+    ulp of the coordinate — at sy ~ 1000 a 1.2e-4 coordinate error, amplified
+    by the tap delta to ~3e-3 of value error, measured). HLO-level fences do
+    not survive (optimization_barrier sits above LLVM; bitcast round-trips
+    are folded by LLVM itself). Instead add an OPAQUE runtime zero: the plain
+    lowering computes ``round(a*b) + 0 = fl(a*b)`` and the contracted one
+    ``fma(a, b, 0) = round(a*b exactly + 0) = fl(a*b)`` — identical either
+    way, so every floor/fraction matches the baked terms bit-for-bit."""
+    return a * b + zero
+
+
+def general_buckets(inv: np.ndarray) -> Optional[tuple]:
+    """Quantized magnitude buckets for the general-affine kernel, or None
+    when the map is outside its class. Buckets (not values) are static: the
+    compiled program is reused for any matrix in the same buckets.
+
+    Class: 2x3 inverse map with at least one cross term, ``a >= 2`` (the
+    consumer-unique condition: each source column is a tap of at most one
+    output column per row) and ``e > 0`` (no vertical flip)."""
+    inv = np.asarray(inv, np.float64)
+    if inv.shape[0] == 3:
+        return None
+    a, b_, _ = inv[0]
+    d_, e, _ = inv[1]
+    if b_ == 0.0 and d_ == 0.0:
+        return None  # separable: pallas_warp's class
+    if not (a >= 2.0 and e > 0.0):
+        return None
+    q4 = lambda v: math.ceil(v * 4.0) / 4.0        # 1/4 steps: a, e
+    q8 = lambda v: math.ceil(abs(v) * 8.0) / 8.0   # 1/8 steps: |b|, |d|
+    return (q4(a), q4(e), q8(b_), q8(d_), bool(b_ >= 0), bool(d_ >= 0))
+
+
+def _divisors(n: int):
+    return [k for k in range(1, n + 1) if n % k == 0]
+
+
+def _plan(pipeline) -> Optional[dict]:
+    read = pipeline.read
+    if not isinstance(read, WarpRead):
+        return None
+    if read.warp_type != WarpType.AFFINE or read.gen_buckets is None:
+        return None
+    src_op = read.source
+    if not isinstance(src_op, ImageRead) or src_op.is_batch:
+        return None
+    if not isinstance(pipeline.write, (TensorSplit, SplitWrite)):
+        return None
+    src = src_op.data
+    pc = src_op.packed_channels
+    if pc:
+        src_h, src_w, nch = int(src.shape[0]), int(src.shape[1]) // pc, pc
+    elif src.ndim == 2:
+        src_h, src_w, nch = int(src.shape[0]), int(src.shape[1]), 1
+    elif src.ndim == 3:
+        src_h, src_w, nch = (int(x) for x in src.shape)
+    else:
+        return None
+    src_lanes = src_w * nch
+    if src_h % 8 or src_lanes % 128:
+        return None
+    if not dt.is_integer(src.dtype) or jnp.dtype(src.dtype).itemsize != 1:
+        # the exact one-hot bf16 vertical gather needs <=8-bit sources;
+        # u16/f32 warps keep the XLA path
+        return None
+    dst_w, dst_h = read.dsize.width, read.dsize.height
+    a_b, e_b, b_b, d_b, _, _ = read.gen_buckets
+
+    try:
+        out_ch, out_dtype = _chain_out_struct(pipeline.compute, nch)
+    except (NotImplementedError, ValueError):
+        return None
+    if jnp.dtype(out_dtype).itemsize > 4:
+        return None
+    for leaf in jax.tree_util.tree_leaves(tuple(pipeline.compute)):
+        shp = jnp.shape(leaf)
+        if len(shp) > 1 or (shp and shp[0] > 64):
+            return None
+        if jnp.result_type(leaf) != jnp.float32:
+            return None
+
+    best = None
+    for R in _divisors(dst_h):
+        if _FORCE_RT is not None and R != _FORCE_RT[0]:
+            continue
+        if R % 8 or R > 32:
+            continue
+        s_h = math.ceil(b_b * (R - 1)) + 3
+        if s_h > _MAX_SH:
+            continue
+        for T in _divisors(dst_w):
+            if _FORCE_RT is not None and T != _FORCE_RT[1]:
+                continue
+            # narrow tiles are legal (steep tilts NEED them to bound S_v);
+            # the cost model just prices their poor MXU utilization
+            if not 32 <= nch * T <= 768:
+                continue
+            s_v = math.ceil(d_b * (T - 1)) + 3
+            if s_v > _MAX_SV:
+                continue
+            k_rows = -(-(int(math.ceil(e_b * (R - 1) + d_b * (T - 1))) + 4)
+                       // 8) * 8 + 8
+            k_rows = min(k_rows, src_h)
+            l_px = int(math.ceil(a_b * (T - 1) + b_b * (R - 1))) + 4
+            lanes = -(-l_px * nch // 128) * 128 + 128
+            lanes = min(lanes, src_lanes)
+            l_pad = 1 << (lanes - 1).bit_length()
+            n_bands, n_strips = dst_h // R, dst_w // T
+            n_tiles = n_bands * n_strips
+            tn = nch * T
+            vmem = (
+                2 * k_rows * lanes                       # window ring (u8)
+                + lanes * (s_h + 1) * tn * 2             # per-strip G (bf16)
+                + s_v * R * lanes * 4                    # V_all transient
+                + s_v * R * k_rows * 2                   # G_v transient
+                + 4 * R * l_pad * 4                      # Vc + Dekker parts
+                + 2 * out_ch * R * T * 4                 # output blocks
+            )
+            if vmem > _VMEM_BUDGET:
+                continue
+            v_flops = 2 * s_v * R * k_rows * lanes
+            h_flops = 3 * 2 * R * lanes * (s_h + 1) * tn
+            vpu = s_v * R * lanes * 4 + R * lanes * 30 + s_h * R * tn * 4
+            dma_b = k_rows * lanes
+            # ns/tile: ~800ns grid-step overhead; MXU ~150 flops/ps at bf16
+            # (75% of peak); VPU ~900 elems/ns; HBM ~0.7 B/ns
+            cost = n_tiles * (800 + (v_flops + h_flops) / 150_000
+                              + vpu / 900 + dma_b / 0.7)
+            if best is None or cost < best["cost"]:
+                best = dict(R=R, T=T, K=k_rows, L=lanes, L_pad=l_pad,
+                            S_v=s_v, S_h=s_h, n_bands=n_bands,
+                            n_strips=n_strips, cost=cost)
+    if best is None:
+        return None
+    best.update(src_h=src_h, src_w=src_w, nch=nch, src_lanes=src_lanes,
+                dst_w=dst_w, dst_h=dst_h, out_ch=out_ch,
+                out_dtype=jnp.dtype(out_dtype), src_dtype=jnp.dtype(src.dtype))
+    return best
+
+
+def supports(pipeline) -> bool:
+    return _plan(pipeline) is not None
+
+
+def profitable(pipeline) -> bool:
+    """The XLA path gathers at ~8 ms/Mpx — the kernel wins except on tiny
+    outputs where per-tile fixed costs dominate."""
+    plan = _plan(pipeline)
+    if plan is None:
+        return False
+    return plan["dst_w"] * plan["dst_h"] >= 64 * 64
+
+
+def try_lower(pipeline, *, interpret: bool = False):
+    plan = _plan(pipeline)
+    if plan is None:
+        return None
+    return _emit(pipeline, plan, interpret=interpret)
+
+
+def _emit(pipeline, plan: dict, *, interpret: bool):
+    read: WarpRead = pipeline.read
+    chain = pipeline.compute
+    write = pipeline.write
+    nch = plan["nch"]
+    src_h, src_w = plan["src_h"], plan["src_w"]
+    src_lanes = plan["src_lanes"]
+    R, T = plan["R"], plan["T"]
+    K, L, L_pad = plan["K"], plan["L"], plan["L_pad"]
+    S_v, S_h = plan["S_v"], plan["S_h"]
+    n_bands, n_strips = plan["n_bands"], plan["n_strips"]
+    n_tiles = n_bands * n_strips
+    dst_w, dst_h = plan["dst_w"], plan["dst_h"]
+    out_ch, out_dtype = plan["out_ch"], plan["out_dtype"]
+    tn = nch * T
+    l_px_cap = L // nch  # widest pixel extent the window can hold
+    sgn_b, sgn_d = read.gen_buckets[4], read.gen_buckets[5]
+
+    src = read.source.data
+    if read.source.packed_channels or src.ndim == 2:
+        src2d = jnp.asarray(src)
+    else:
+        src2d = jnp.reshape(jnp.asarray(src), (src_h, src_lanes))
+
+    cf = jnp.asarray(read.coeffs, jnp.float32)  # [a, b, c, d, e, f]
+
+    # ---- per-tile prepass (tiny (n_tiles,) vectors; f32 ops matching the
+    # in-kernel formulas bit-for-bit where consistency matters) ----
+    r0v = (jnp.arange(n_bands, dtype=jnp.int32) * R)
+    x0v = (jnp.arange(n_strips, dtype=jnp.int32) * T)
+    r0f, x0f = r0v.astype(jnp.float32), x0v.astype(jnp.float32)
+    r1f, x1f = r0f + np.float32(R - 1), x0f + np.float32(T - 1)
+    a, b_, c0, d_, e, f0 = (cf[i] for i in range(6))
+    # vertical window start: corner extremes of sy (exact for affine)
+    zero_p = jax.lax.optimization_barrier(jnp.float32(0.0))
+    rmul = lambda x, y: _rmul(x, y, zero_p)
+    sy_rows = jnp.stack([rmul(e, r0f) + f0, rmul(e, r1f) + f0])  # (2, n_bands)
+    sy_cols = jnp.stack([rmul(d_, x0f), rmul(d_, x1f)])          # (2, n_strips)
+    sy_min = (jnp.min(sy_cols, 0)[:, None] + jnp.min(sy_rows, 0)[None, :])
+    wy0 = jnp.clip(
+        ((jnp.floor(sy_min).astype(jnp.int32) - 1) // 8) * 8, 0, src_h - K
+    )  # (n_strips, n_bands)
+    # horizontal anchor: stair0 + hbase (see module docstring, step 5)
+    m1 = jnp.minimum(rmul(b_, r0f), rmul(b_, r1f)) + c0        # (n_bands,)
+    hbase = jnp.floor(m1).astype(jnp.int32)
+    stair0 = jnp.floor(rmul(a, x0f)).astype(jnp.int32)         # (n_strips,)
+    anchor_px = stair0[:, None] + hbase[None, :]               # raw, unclamped
+    wl0_lanes = jnp.clip(
+        ((jnp.clip(anchor_px, 0, src_w - l_px_cap) * nch) // 128) * 128,
+        0, src_lanes - L,
+    )
+    shift0 = anchor_px * nch - wl0_lanes
+    tile_params = jnp.stack(
+        [wy0, wl0_lanes, shift0,
+         jnp.broadcast_to(hbase[None, :], (n_strips, n_bands))], axis=-1,
+    ).reshape(n_tiles, 4)
+
+    # chain runtime scalars + border ride one packed f32 prefetch array
+    chain_leaves, chain_def = jax.tree_util.tree_flatten(tuple(chain))
+    leaf_shapes = [jnp.shape(l) for l in chain_leaves]
+    leaf_sizes = [1 if shp == () else int(shp[0]) for shp in leaf_shapes]
+    leaf_offsets = list(np.cumsum([6 + nch] + leaf_sizes))[:-1]
+    fparams = jnp.concatenate(
+        [cf.reshape(6), jnp.asarray(read.default, jnp.float32).reshape(nch)]
+        + [jnp.asarray(l, jnp.float32).reshape(-1) for l in chain_leaves]
+        + [jnp.zeros((1,), jnp.float32)]  # opaque zero for _rmul
+    )
+    n_fp = 6 + nch + sum(leaf_sizes) + 1
+
+    # Mosaic requires output-block minor dims divisible by (8, 128) OR equal
+    # to the full array dims: emit a strip-major 4D intermediate whose minor
+    # dim is the FULL tile width T, and transpose back with one XLA copy
+    # (~2x output bytes; the kernel replaces an ~8 ms gather path)
+    out_shape = jax.ShapeDtypeStruct(
+        (n_strips, out_ch, dst_h, T), out_dtype
+    )
+    out_specs = pl.BlockSpec(
+        (1, out_ch, R, T), lambda js, ib, *_: (js, 0, ib, 0)
+    )
+    n_outs = 1
+
+    def kernel(tp_ref, fp_ref, src_ref, *rest):
+        out_refs = rest[:n_outs]
+        window, gmat, sem = rest[n_outs:]
+        A, B, C = fp_ref[0], fp_ref[1], fp_ref[2]
+        D, E, F = fp_ref[3], fp_ref[4], fp_ref[5]
+
+        leaf_vals = []
+        for shp, size, off in zip(leaf_shapes, leaf_sizes, leaf_offsets):
+            if shp == ():
+                leaf_vals.append(fp_ref[int(off)])
+            else:
+                leaf_vals.append(
+                    _ScalarVec(fp_ref[int(off) + i] for i in range(size))
+                )
+        chain_k = jax.tree_util.tree_unflatten(chain_def, leaf_vals)
+        kmul = lambda x, y: _rmul(x, y, fp_ref[n_fp - 1])
+
+        js = pl.program_id(0)
+        ib = pl.program_id(1)
+        fs = js * n_bands + ib
+
+        def dma(flat, slot):
+            return pltpu.make_async_copy(
+                src_ref.at[
+                    pl.ds(pl.multiple_of(tp_ref[flat, 0], 8), K),
+                    pl.ds(pl.multiple_of(tp_ref[flat, 1], 128), L),
+                ],
+                window.at[slot],
+                sem.at[slot],
+            )
+
+        @pl.when(fs == 0)
+        def _():
+            dma(0, 0).start()
+
+        @pl.when(fs + 1 < n_tiles)
+        def _():
+            dma(fs + 1, (fs + 1) % 2).start()
+
+        # per-strip one-hot H-gather matrix, built once per strip: column
+        # block h holds taps (stair(X) - stair(X0) + h)*nch + ch, channel-
+        # major within the block (planar outputs fall straight out)
+        @pl.when(ib == 0)
+        def _():
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, (S_h + 1) * tn), 1)
+            hp = col // tn
+            rem = col % tn
+            cch = rem // T
+            xr = rem % T
+            xf = (js * T + xr).astype(jnp.float32)
+            stair = jnp.floor(kmul(A, xf)).astype(jnp.int32)
+            stair0 = jnp.floor(
+                kmul(A, (js * T).astype(jnp.float32))
+            ).astype(jnp.int32)
+            lane_t = (stair - stair0 + hp) * nch + cch
+            lrow = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+            gmat[...] = (lrow == lane_t).astype(jnp.bfloat16)
+
+        dma(fs, fs % 2).wait()
+
+        wy0_t = tp_ref[fs, 0]
+        wl0_t = tp_ref[fs, 1]
+        shift0_t = tp_ref[fs, 2]
+        hbase_t = tp_ref[fs, 3]
+        r0 = ib * R
+        x0 = js * T
+        # minDX: the d*X corner minimum — sign is static (bucketed)
+        mindx = kmul(D, (x0 if sgn_d else x0 + T - 1).astype(jnp.float32))
+
+        # ---- window -> bf16 (u8 values are bf16-exact) ----
+        win = window[fs % 2].astype(jnp.int32).astype(jnp.bfloat16)
+
+        # ---- vertical candidate gather: ONE one-hot matmul, M = (s, r) ----
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (S_v * R, 1), 0)
+        s_of = rowid // R
+        r_of = rowid % R
+        rf_col = (r0 + r_of).astype(jnp.float32)
+        kbase_col = (
+            jnp.floor(mindx + (kmul(E, rf_col) + F)).astype(jnp.int32)
+            - wy0_t
+        )
+        kk = jnp.clip(kbase_col + s_of, 0, K - 1)
+        kcol = jax.lax.broadcasted_iota(jnp.int32, (S_v * R, K), 1)
+        gv = (kcol == kk).astype(jnp.bfloat16)
+        v_all = jax.lax.dot_general(
+            gv, win, (((1,), (0,)), ((), ())),
+            precision=_DEFAULT, preferred_element_type=jnp.float32,
+        )  # (S_v*R, L): candidate source rows, exact u8 values
+
+        # ---- consumer-unique select-lerp on the (r, source-lane) grid ----
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+        abs_lane = wl0_t + lane
+        p_px = abs_lane // nch
+        rf = (r0 + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)).astype(
+            jnp.float32
+        )
+        orow = kmul(B, rf) + C  # (R, 1)
+        inv_a = 1.0 / A
+        p_f = p_px.astype(jnp.float32)
+        xhat = jnp.floor(((p_f - 1.0) - orow) * inv_a).astype(jnp.int32)
+
+        def ixof(xi):
+            return jnp.floor(
+                kmul(A, xi.astype(jnp.float32)) + orow
+            ).astype(jnp.int32)
+
+        # smallest X with ix(X) >= p-1, judged by the SAME floor staircase
+        # the forward pass uses (consistency by construction; the division
+        # above is only a +-1 estimate)
+        pm1 = p_px - 1
+        xstar = jnp.where(
+            ixof(xhat - 1) >= pm1, xhat - 1,
+            jnp.where(ixof(xhat) >= pm1, xhat, xhat + 1),
+        )
+        xstar = jnp.clip(xstar, x0, x0 + T - 1)
+        syl = kmul(D, xstar.astype(jnp.float32)) + (kmul(E, rf) + F)  # (R, L)
+        iyf = jnp.floor(syl)
+        fy = syl - iyf
+        iyi = iyf.astype(jnp.int32)
+        vt = ((iyi >= 0) & (iyi < src_h)).astype(jnp.float32)
+        vb = ((iyi + 1 >= 0) & (iyi + 1 < src_h)).astype(jnp.float32)
+        kbase_r = jnp.floor(mindx + (kmul(E, rf) + F)).astype(jnp.int32)
+        sel = iyi - kbase_r  # (R, L) in [0, S_v-2] by sizing
+        wt = (1.0 - fy) * vt
+        wb = fy * vb
+        acc = jnp.zeros((R, L), jnp.float32)
+        for s in range(S_v):
+            w_s = jnp.where(sel == s, wt, 0.0)
+            if s >= 1:
+                w_s = w_s + jnp.where(sel == s - 1, wb, 0.0)
+            acc = acc + w_s * v_all[s * R : (s + 1) * R]
+        # out-of-source vertical taps contribute the border (exact
+        # CONDITIONAL semantics: border rides the missing weight)
+        border_lane = jnp.zeros((1, L), jnp.float32)
+        for ci in range(nch):
+            border_lane = border_lane + jnp.where(
+                abs_lane % nch == ci, fp_ref[6 + ci], 0.0
+            )
+        vc = acc + border_lane * (1.0 - (wt + wb))
+
+        # ---- lane re-base: ONE traced roll (pow2-padded f32) ----
+        if L_pad > L:
+            vc = jnp.concatenate(
+                [vc, jnp.zeros((R, L_pad - L), jnp.float32)], axis=1
+            )
+        vc = pltpu.roll(vc, -shift0_t, 1)[:, :L]
+
+        # ---- Dekker-3 split + batched one-hot H dots ----
+        hi = vc.astype(jnp.bfloat16)
+        res1 = vc - hi.astype(jnp.float32)
+        lo = res1.astype(jnp.bfloat16)
+        lo2 = (res1 - lo.astype(jnp.float32)).astype(jnp.bfloat16)
+        g = gmat[...]
+        dn = (((1,), (0,)), ((), ()))
+        d_all = (
+            jax.lax.dot_general(hi, g, dn, precision=_DEFAULT,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(lo, g, dn, precision=_DEFAULT,
+                                  preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(lo2, g, dn, precision=_DEFAULT,
+                                  preferred_element_type=jnp.float32)
+        )  # (R, (S_h+1)*tn)
+
+        # ---- horizontal select-lerp on the (r, X, channel) output grid ----
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, tn), 1)
+        cch = col // T
+        xr = col % T
+        xf = (x0 + xr).astype(jnp.float32)
+        u = kmul(A, xf) + orow  # (R, tn)
+        ixf2 = jnp.floor(u)
+        fx = u - ixf2
+        ixi = ixf2.astype(jnp.int32)
+        vx0 = ((ixi >= 0) & (ixi < src_w)).astype(jnp.float32)
+        vx1 = ((ixi + 1 >= 0) & (ixi + 1 < src_w)).astype(jnp.float32)
+        stair = jnp.floor(kmul(A, xf)).astype(jnp.int32)
+        hsel = ixi - stair - hbase_t  # (R, tn) in [0, S_h-2] by sizing
+        wa = (1.0 - fx) * vx0
+        wbx = fx * vx1
+        out_flat = jnp.zeros((R, tn), jnp.float32)
+        for h in range(S_h):
+            m = hsel == h
+            out_flat = (
+                out_flat
+                + jnp.where(m, wa, 0.0) * d_all[:, h * tn : (h + 1) * tn]
+                + jnp.where(m, wbx, 0.0)
+                * d_all[:, (h + 1) * tn : (h + 2) * tn]
+            )
+        border_col = jnp.zeros((1, tn), jnp.float32)
+        for ci in range(nch):
+            border_col = border_col + jnp.where(cch == ci, fp_ref[6 + ci], 0.0)
+        out_flat = out_flat + border_col * (1.0 - (wa + wbx))
+
+        planes = [out_flat[:, ci * T : (ci + 1) * T] for ci in range(nch)]
+        planes = _apply_chain_planar(chain_k, planes)
+
+        for ci, pline in enumerate(planes):
+            out_refs[0][0, ci] = pline
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_strips, n_bands),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((2, K, L), plan["src_dtype"]),
+            pltpu.VMEM((L, (S_h + 1) * tn), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    out_bytes = (
+        sum(int(np.prod(o.shape)) * o.dtype.itemsize for o in out_shape)
+        if isinstance(out_shape, tuple)
+        else int(np.prod(out_shape.shape)) * out_shape.dtype.itemsize
+    )
+    cost = pl.CostEstimate(
+        flops=n_tiles * 2 * (S_v * R * K * L + 3 * R * L * (S_h + 1) * tn),
+        bytes_accessed=n_tiles * K * L + out_bytes,
+        transcendentals=0,
+    )
+
+    raw = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        cost_estimate=cost,
+    )(tile_params, fparams, src2d)
+    # (n_strips, out_ch, dst_h, T) -> (out_ch, dst_h, dst_w)
+    full = jnp.transpose(raw, (1, 2, 0, 3)).reshape(out_ch, dst_h, dst_w)
+    if isinstance(write, TensorSplit):
+        return full
+    return tuple(full[ci] for ci in range(out_ch))

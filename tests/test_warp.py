@@ -28,13 +28,17 @@ def _np_warp_affine(img, m, dsize):
     m = np.asarray(m, np.float64)
     a = np.linalg.inv(m[:, :2])
     b = -a @ m[:, 2]
-    # mirror the engine's per-axis decomposition (f64 terms rounded once)
-    xs64 = np.arange(w, dtype=np.float64)
-    ys64 = np.arange(h, dtype=np.float64)
-    col_x = (a[0, 0] * xs64).astype(np.float32)
-    row_x = (a[0, 1] * ys64 + b[0]).astype(np.float32)
-    col_y = (a[1, 0] * xs64).astype(np.float32)
-    row_y = (a[1, 1] * ys64 + b[1]).astype(np.float32)
+    # mirror the engine's per-axis decomposition (f32 coefficients, IEEE f32
+    # products — ops.warp.decompose_inverse_map, which the general-affine
+    # Pallas kernel must reproduce bit-for-bit in-kernel)
+    xs = np.arange(w, dtype=np.float32)
+    ys = np.arange(h, dtype=np.float32)
+    a32 = a.astype(np.float32)
+    b32 = b.astype(np.float32)
+    col_x = a32[0, 0] * xs
+    row_x = a32[0, 1] * ys + b32[0]
+    col_y = a32[1, 0] * xs
+    row_y = a32[1, 1] * ys + b32[1]
     sx = col_x[None, :] + row_x[:, None]
     sy = col_y[None, :] + row_y[:, None]
     x0 = np.floor(sx).astype(np.int64)
