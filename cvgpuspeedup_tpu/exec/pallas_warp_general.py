@@ -208,10 +208,17 @@ def _plan(pipeline) -> Optional[dict]:
             h_flops = 3 * 2 * R * lanes * (s_h + 1) * tn
             vpu = s_v * R * lanes * 4 + R * lanes * 30 + s_h * R * tn * 4
             dma_b = k_rows * lanes
-            # ns/tile: ~800ns grid-step overhead; MXU ~150 flops/ps at bf16
-            # (75% of peak); VPU ~900 elems/ns; HBM ~0.7 B/ns
-            cost = n_tiles * (800 + (v_flops + h_flops) / 150_000
-                              + vpu / 900 + dma_b / 0.7)
+            # ns/tile, calibrated on the v5e (R,T) sweep of the 10-degree
+            # 1080p rotation (280-410us measured): ~300ns effective step
+            # overhead (DMAs overlap), MXU ~200 flops/ns at these one-hot
+            # dot shapes, VPU ~900 elems/ns, HBM ~0.7 B/ns
+            cost = n_tiles * (300 + (v_flops + h_flops) / 300_000
+                              + vpu / 3_000 + dma_b / 800)
+            if nch * T < 96:
+                # sub-tile-wide output lanes underuse the store path and the
+                # H dot's N axis (measured: (24,20) 305us vs (24,32) 275us on
+                # the 10-degree 1080p rotation) — allowed, but priced
+                cost *= 1.5
             if best is None or cost < best["cost"]:
                 best = dict(R=R, T=T, K=k_rows, L=lanes, L_pad=l_pad,
                             S_v=s_v, S_h=s_h, n_bands=n_bands,
