@@ -41,7 +41,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ..graph import FusedCompute
 from ..ops.arithmetic import StaticLoop, _BinaryWithScalar
 from ..ops.cast import Cast, SaturateCast
-from ..ops.memory import CircularBatchRead, ImageRead, TensorWrite, Write2D
+from ..graph import FusedRead
+from ..ops.memory import (BatchRead, CircularBatchRead, ImageRead,
+                          TensorWrite, Write2D)
+from ..ops.nv12 import _KR_KB, ColorRange, ConvertYUVToRGB, PixelFormat, ReadYUV
+from ..ops.resize import ResizeRead
+from ..ops.resize import BatchResizeRead, axis_lerp_np
+from ..types import AspectRatio, InterpolationType
 from ..utils import dtypes as dt
 
 
@@ -79,12 +85,93 @@ def _chain_out_dtype(chain):
 def _seq_info(seq) -> Optional[dict]:
     read = seq.read
     packed = 0
+    sshape = None
     if isinstance(read, ImageRead) and read.is_batch:
         src, kind, asc = read.data, "image", True
         packed = read.packed_channels
     elif isinstance(read, CircularBatchRead):
         src, kind, asc = read.data, "circ", read.ascendent
         packed = read.packed_channels
+    elif isinstance(read, BatchResizeRead) and read.stack is not None:
+        # GEOMETRY read: whole-plane static resize per group (the reference
+        # mixes an NV12-read+resize sequence with a pass-through in ONE
+        # divergent launch, tests/resize/test_fused_resize.cu:85-92; the
+        # resize half is this kind). Uniform full-plane geometry only —
+        # per-plane rect geometry stays with the flagship kernel.
+        if (read.aspect_ratio != AspectRatio.IGNORE_AR
+                or read.interp != InterpolationType.INTER_LINEAR
+                or read.used_planes is not None
+                or read.uniform_wh is None):
+            return None
+        src, kind, asc = read.stack, "resize", True
+        packed = read.packed_channels
+        sh = int(src.shape[1])
+        sw = (int(src.shape[2]) // packed if packed
+              else int(src.shape[2]))
+        if tuple(read.uniform_wh) != (sw, sh):
+            return None  # not a whole-plane resize
+        c = packed if packed else int(src.shape[3])
+        sshape = (sh, sw, c)
+        pshape = (read.dsize.height, read.dsize.width, c)
+        if src.ndim != (3 if packed else 4):
+            return None
+        chain = _flat_chain(seq.compute)
+        if chain is None:
+            return None
+        if not isinstance(seq.write, (TensorWrite, Write2D)):
+            return None
+        return dict(src=src, kind=kind, asc=asc, chain=chain, read=read,
+                    pshape=pshape, packed=packed, sshape=sshape)
+    elif isinstance(read, BatchRead) and read.used_planes is None:
+        # NV12 group: every plane an identical-structure fused NV12->RGB
+        # read, optionally resized — the other half of the reference's
+        # divergent demo (tests/resize/test_fused_resize.cu:85-92). The
+        # YUV->RGB affine is FOLDED into the baked horizontal matrices
+        # (see _bake_nv12), so the kernel runs it as two matmuls.
+        sub = read.ops
+        if not sub:
+            return None
+        def _split(op_):
+            if isinstance(op_, ResizeRead):
+                return op_.source, op_.dsize
+            return op_, None
+        f0, d0 = _split(sub[0])
+        if not isinstance(f0, FusedRead) or not isinstance(f0.read, ReadYUV):
+            return None
+        if len(f0.chain) != 1 or not isinstance(f0.chain[0], ConvertYUVToRGB):
+            return None
+        conv = f0.chain[0]
+        if conv.alpha or jnp.dtype(conv.out_dtype) != jnp.float32:
+            return None
+        bufs = []
+        for op_ in sub:
+            fr, dd = _split(op_)
+            if dd != d0 or not isinstance(fr, FusedRead):
+                return None
+            if not isinstance(fr.read, ReadYUV):
+                return None
+            if (len(fr.chain) != 1
+                    or not isinstance(fr.chain[0], ConvertYUVToRGB)
+                    or fr.chain[0] != conv
+                    or fr.read.pixel_format != f0.read.pixel_format
+                    or fr.read.buffer.shape != f0.read.buffer.shape):
+                return None
+            bufs.append(fr.read.buffer)
+        rows, sw = (int(x) for x in f0.read.buffer.shape)
+        sh = rows * 2 // 3
+        if d0 is None:
+            h_out, w_out = sh, sw
+        else:
+            h_out, w_out = d0.height, d0.width
+        chain = _flat_chain(seq.compute)
+        if chain is None:
+            return None
+        if not isinstance(seq.write, (TensorWrite, Write2D)):
+            return None
+        return dict(src=jnp.stack(bufs), kind="nv12", asc=True, chain=chain,
+                    read=read, pshape=(h_out, w_out, 3), packed=0,
+                    sshape=(rows, sw, 1), conv=conv,
+                    pixel_format=f0.read.pixel_format, nv_src=(sh, sw))
     else:
         return None
     if packed:
@@ -103,7 +190,54 @@ def _seq_info(seq) -> Optional[dict]:
     if not isinstance(seq.write, (TensorWrite, Write2D)):
         return None
     return dict(src=src, kind=kind, asc=asc, chain=chain, read=read,
-                pshape=pshape, packed=packed)
+                pshape=pshape, packed=packed, sshape=pshape)
+
+
+def _bake_nv12(info, h_out: int, w_out: int):
+    """Baked plane-space matrices for an NV12 divergent group.
+
+    Vertical: exact axis_lerp taps for Y; the same full-resolution taps
+    mapped to half rows (nearest 2x chroma upsample commutes with the
+    linear resample) for the interleaved-UV rows. Horizontal: the bilinear
+    taps SCALED by the YUV->RGB affine coefficients per output channel —
+    the conversion costs nothing at runtime (channel-major-free: output
+    lanes are interleaved 3x+c)."""
+    conv: ConvertYUVToRGB = info["conv"]
+    sh, sw = info["nv_src"]
+    kr, kb = _KR_KB[conv.standard]
+    kg = 1.0 - kr - kb
+    a_y = 255.0 / 219.0 if conv.color_range == ColorRange.LIMITED else 1.0
+    s_c = 255.0 / 224.0 if conv.color_range == ColorRange.LIMITED else 1.0
+    bu = np.array([0.0, -2.0 * kb * (1.0 - kb) / kg, 2.0 * (1.0 - kb)]) * s_c
+    cv_ = np.array([2.0 * (1.0 - kr), -2.0 * kr * (1.0 - kr) / kg, 0.0]) * s_c
+    d_off = (-16.0 * a_y if conv.color_range == ColorRange.LIMITED else 0.0)
+    d_c = d_off - 128.0 * (bu + cv_)
+
+    rows_i = np.arange(h_out)
+    iy0, iy1, wy = axis_lerp_np(rows_i.astype(np.int64), sh, h_out)
+    wv_y = np.zeros((h_out, sh), np.float32)
+    np.add.at(wv_y, (rows_i, iy0), (1.0 - wy).astype(np.float32))
+    np.add.at(wv_y, (rows_i, iy1), wy.astype(np.float32))
+    wv_uv = np.zeros((h_out, sh // 2), np.float32)
+    np.add.at(wv_uv, (rows_i, iy0 // 2), (1.0 - wy).astype(np.float32))
+    np.add.at(wv_uv, (rows_i, iy1 // 2), wy.astype(np.float32))
+
+    ix0, ix1, wx = axis_lerp_np(np.arange(w_out, dtype=np.int64), sw, w_out)
+    lam = np.arange(3 * w_out)
+    xs, chs = lam // 3, lam % 3
+    h_y = np.zeros((sw, 3 * w_out), np.float32)
+    np.add.at(h_y, (ix0[xs], lam), ((1.0 - wx)[xs] * a_y).astype(np.float32))
+    np.add.at(h_y, (ix1[xs], lam), (wx[xs] * a_y).astype(np.float32))
+    m_u, m_v = (1, 0) if info["pixel_format"] == PixelFormat.NV21 else (0, 1)
+    h_uv = np.zeros((sw, 3 * w_out), np.float32)
+    for ix, w_ in ((ix0, 1.0 - wx), (ix1, wx)):
+        np.add.at(h_uv, (2 * (ix[xs] // 2) + m_u, lam),
+                  (w_[xs] * bu[chs]).astype(np.float32))
+        np.add.at(h_uv, (2 * (ix[xs] // 2) + m_v, lam),
+                  (w_[xs] * cv_[chs]).astype(np.float32))
+    delta = d_c[chs].astype(np.float32).reshape(1, 3 * w_out)
+    return (jnp.asarray(wv_y), jnp.asarray(wv_uv), jnp.asarray(h_y),
+            jnp.asarray(h_uv), jnp.asarray(delta))
 
 
 def _plan(seqs: Sequence, plane_ids) -> Optional[list]:
@@ -126,13 +260,28 @@ def _plan(seqs: Sequence, plane_ids) -> Optional[list]:
             return None
         if sdt not in (jnp.dtype(jnp.uint8), jnp.dtype(jnp.float32)):
             return None
-        if info["kind"] == "image" and int(s.shape[0]) != n:
+        if info["kind"] in ("image", "resize", "nv12") and int(s.shape[0]) != n:
             return None
         infos.append(info)
     h, w, c = shape0
     if h % 8 or (w * c) % 128:
         return None
     if jnp.dtype(out_dt).itemsize > 4:
+        return None
+    vmem = 0
+    for info in infos:
+        sh, sw, sc = info["sshape"]
+        if sh % 8 or (sw * sc) % 128:
+            return None
+        vmem += 2 * sh * sw * sc * jnp.dtype(info["src"].dtype).itemsize
+        if info["kind"] == "resize":
+            # baked interpolation matrices live in VMEM for the launch
+            vmem += (h * sh + sw * sc * w * c) * 4
+        elif info["kind"] == "nv12":
+            luma_h = info["nv_src"][0]
+            vmem += (h * (luma_h + luma_h // 2)
+                     + 2 * sw * w * c + w * c) * 4
+    if vmem > 10 * 1024 * 1024:
         return None
     for info in infos:
         for leaf in jax.tree_util.tree_leaves(tuple(info["chain"])):
@@ -144,8 +293,10 @@ def _plan(seqs: Sequence, plane_ids) -> Optional[list]:
         # the kernel widens integer sources to f32 up front, so it cannot
         # reproduce the per-op INTEGER saturation semantics of arithmetic
         # applied at an integer dtype — require every binary op to run in
-        # the float domain (a preceding cast, or a float source)
-        cur = jnp.dtype(info["src"].dtype)
+        # the float domain (a preceding cast, a float source, or a resize
+        # read, whose output is float by contract)
+        cur = (jnp.dtype(jnp.float32) if info["kind"] in ("resize", "nv12")
+               else jnp.dtype(info["src"].dtype))
         for op_ in info["chain"]:
             if isinstance(op_, (Cast, SaturateCast)):
                 cur = jnp.dtype(op_.dst)
@@ -203,11 +354,53 @@ def _emit(plane_ids, infos, *, interpret: bool):
     else:
         fparams = jnp.zeros((1,), jnp.float32)
 
-    srcs = [
-        info["src"] if info["packed"]
-        else jnp.reshape(info["src"], (int(info["src"].shape[0]), h, lanes))
-        for info in infos
-    ]
+    srcs = []
+    for info in infos:
+        sh, sw, sc = info["sshape"]
+        srcs.append(
+            info["src"] if info["packed"]
+            else jnp.reshape(info["src"],
+                             (int(info["src"].shape[0]), sh, sw * sc))
+        )
+
+    # baked whole-plane interpolation matrices for resize groups (static
+    # geometry: exact rational axis_lerp weights; the H matrix maps
+    # interleaved source lanes to interleaved output lanes so the kernel
+    # stays channel-interleaved end to end)
+    bake_inputs: List = []
+    bake_specs: List = []
+    bake_idx: List[Optional[int]] = []
+    for info in infos:
+        if info["kind"] == "nv12":
+            bake_idx.append(len(bake_inputs))
+            for mat in _bake_nv12(info, h, w):
+                bake_inputs.append(mat)
+                bake_specs.append(
+                    pl.BlockSpec(mat.shape, lambda z, *_: (0, 0),
+                                 memory_space=pltpu.VMEM)
+                )
+            continue
+        if info["kind"] != "resize":
+            bake_idx.append(None)
+            continue
+        sh, sw, sc = info["sshape"]
+        iy0, iy1, wy = axis_lerp_np(np.arange(h, dtype=np.int64), sh, h)
+        wv = np.zeros((h, sh), np.float32)
+        np.add.at(wv, (np.arange(h), iy0), (1.0 - wy).astype(np.float32))
+        np.add.at(wv, (np.arange(h), iy1), wy.astype(np.float32))
+        ix0, ix1, wx = axis_lerp_np(np.arange(w, dtype=np.int64), sw, w)
+        wh_m = np.zeros((sw * sc, lanes), np.float32)
+        lam = np.arange(lanes)
+        xs, chs = lam // c, lam % c
+        np.add.at(wh_m, (ix0[xs] * sc + chs, lam), (1.0 - wx)[xs].astype(np.float32))
+        np.add.at(wh_m, (ix1[xs] * sc + chs, lam), wx[xs].astype(np.float32))
+        bake_idx.append(len(bake_inputs))
+        for mat in (jnp.asarray(wv), jnp.asarray(wh_m)):
+            bake_inputs.append(mat)
+            bake_specs.append(
+                pl.BlockSpec(mat.shape, lambda z, *_: (0, 0),
+                             memory_space=pltpu.VMEM)
+            )
 
     # the kernel computes interleaved (h, lanes) rows; Mosaic cannot shape-
     # cast (h, w*c) -> (h, w, c) in-kernel (hardware rejects the tpu.reshape
@@ -218,9 +411,11 @@ def _emit(plane_ids, infos, *, interpret: bool):
 
     def kernel(gid_ref, first_ref, fp_ref, *rest):
         src_refs = rest[: len(srcs)]
-        out_ref = rest[len(srcs)]
-        windows = rest[len(srcs) + 1 : len(srcs) + 1 + len(srcs)]
-        sem = rest[len(srcs) + 1 + len(srcs)]
+        bake_refs = rest[len(srcs) : len(srcs) + len(bake_inputs)]
+        base = len(srcs) + len(bake_inputs)
+        out_ref = rest[base]
+        windows = rest[base + 1 : base + 1 + len(srcs)]
+        sem = rest[base + 1 + len(srcs)]
 
         z = pl.program_id(0)
 
@@ -290,16 +485,55 @@ def _emit(plane_ids, infos, *, interpret: bool):
                 if dt.is_integer(x.dtype) and x.dtype.itemsize == 1:
                     x = x.astype(jnp.int32)
                 x = x.astype(jnp.float32)
+                hp = jax.lax.Precision.HIGHEST
+                dn = (((1,), (0,)), ((), ()))
+                if infos[gi]["kind"] == "resize":
+                    bi = bake_idx[gi]
+                    x = jax.lax.dot_general(
+                        bake_refs[bi][...], x, dn, precision=hp,
+                        preferred_element_type=jnp.float32,
+                    )  # (h, src_lanes)
+                    x = jax.lax.dot_general(
+                        x, bake_refs[bi + 1][...], dn, precision=hp,
+                        preferred_element_type=jnp.float32,
+                    )  # (h, lanes)
+                elif infos[gi]["kind"] == "nv12":
+                    # plane-space NV12: vertical-resize Y and the
+                    # interleaved-UV rows separately, then two horizontal
+                    # matmuls whose baked matrices CARRY the YUV->RGB affine
+                    bi = bake_idx[gi]
+                    sh_l = infos[gi]["nv_src"][0]
+                    yv = jax.lax.dot_general(
+                        bake_refs[bi][...], x[:sh_l], dn, precision=hp,
+                        preferred_element_type=jnp.float32,
+                    )  # (h, sw)
+                    uvv = jax.lax.dot_general(
+                        bake_refs[bi + 1][...], x[sh_l:], dn, precision=hp,
+                        preferred_element_type=jnp.float32,
+                    )  # (h, sw)
+                    x = (
+                        jax.lax.dot_general(
+                            yv, bake_refs[bi + 2][...], dn, precision=hp,
+                            preferred_element_type=jnp.float32)
+                        + jax.lax.dot_general(
+                            uvv, bake_refs[bi + 3][...], dn, precision=hp,
+                            preferred_element_type=jnp.float32)
+                        + bake_refs[bi + 4][...]
+                    )  # (h, 3*w)
                 x = run_chain(gi, x)
                 out_ref[0] = x.astype(out_dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM) for _ in srcs],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM) for _ in srcs]
+        + bake_specs,
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((2, h, lanes), jnp.dtype(info["src"].dtype))
+            pltpu.VMEM(
+                (2, info["sshape"][0], info["sshape"][1] * info["sshape"][2]),
+                jnp.dtype(info["src"].dtype),
+            )
             for info in infos
         ] + [pltpu.SemaphoreType.DMA((len(infos), 2))],
     )
@@ -315,5 +549,5 @@ def _emit(plane_ids, infos, *, interpret: bool):
         out_shape=out_shape,
         interpret=interpret,
         cost_estimate=cost,
-    )(gids, firsts, fparams, *srcs)
+    )(gids, firsts, fparams, *srcs, *bake_inputs)
     return jnp.reshape(out, (n, h, w, c))

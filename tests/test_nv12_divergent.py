@@ -249,3 +249,71 @@ def test_divergent_pallas_unsupported_falls_back(rng):
     out = np.asarray(cvgs.launch_divergent_batch(
         [1, 1, 1, 1], seq_split, backend=cvgs.ParBackend.PALLAS_INTERPRET))
     assert out.shape == (4, 3, 16, 128)
+
+
+def test_divergent_resize_sequence_kernel(rng):
+    """Divergent batch whose seq1 READ is a whole-plane static resize — the
+    reference's own divergent showcase shape (test_fused_resize.cu:85-92).
+    The Pallas kernel must claim it and match the XLA scatter-merge."""
+    from cvgpuspeedup_tpu.exec import pallas_divergent as pd
+
+    stack = rng.integers(0, 256, (6, 64, 256, 3)).astype(np.uint8)
+    flat = rng.integers(0, 200, (6, 32, 128, 3)).astype(np.float32)
+    seq1 = cvgs.build_operation_sequence(
+        cvgs.resize_batch(stack, dsize=cvgs.Size(128, 32)),
+        cvgs.multiply(0.5), cvgs.write_tensor(),
+    )
+    seq2 = cvgs.build_operation_sequence(cvgs.image(flat), cvgs.write_tensor())
+    ids = [1 if z % 2 == 0 else 2 for z in range(6)]
+    assert pd.supports([seq1, seq2], ids)
+    p = np.asarray(pd.try_lower([seq1, seq2], ids, interpret=True))
+    x = np.asarray(cvgs.launch_divergent_batch(
+        ids, seq1, seq2, backend=cvgs.ParBackend.XLA))
+    check_float(p, x, msg="divergent resize kernel vs xla")
+
+
+@pytest.mark.parametrize("fmt,crange", [
+    (cvgs.PixelFormat.NV12, cvgs.ColorRange.FULL),
+    (cvgs.PixelFormat.NV21, cvgs.ColorRange.LIMITED),
+])
+def test_divergent_nv12_sequence_kernel(rng, fmt, crange):
+    """Divergent batch mixing an NV12->RGB->resize sequence with a
+    pass-through — the FULL reference demo through ONE kernel. The YUV->RGB
+    affine rides the baked horizontal matrices."""
+    from cvgpuspeedup_tpu.exec import pallas_divergent as pd
+
+    SH, SW, h, w = 64, 256, 32, 128
+    bufs = [rng.integers(0, 256, (SH * 3 // 2, SW)).astype(np.uint8)
+            for _ in range(4)]
+    cams = [cvgs.resize(
+        cvgs.fuse(cvgs.read_yuv(b, pixel_format=fmt),
+                  cvgs.convert_yuv_to_rgb(standard=cvgs.ColorStandard.BT709,
+                                          color_range=crange,
+                                          out_dtype=np.float32)),
+        cvgs.Size(w, h)) for b in bufs]
+    flat = rng.integers(0, 200, (4, h, w, 3)).astype(np.float32)
+    seq1 = cvgs.build_operation_sequence(
+        cvgs.batch_read(cams), cvgs.multiply(0.5), cvgs.write_tensor())
+    seq2 = cvgs.build_operation_sequence(cvgs.image(flat), cvgs.write_tensor())
+    ids = [1, 2, 1, 2]
+    assert pd.supports([seq1, seq2], ids)
+    p = np.asarray(pd.try_lower([seq1, seq2], ids, interpret=True))
+    x = np.asarray(cvgs.launch_divergent_batch(
+        ids, seq1, seq2, backend=cvgs.ParBackend.XLA))
+    check_float(p, x, msg=f"divergent NV12 kernel vs xla ({fmt.name})")
+
+
+def test_divergent_nv12_unaligned_falls_back(rng):
+    """Lane-unaligned NV12 buffers must take the XLA merge, not a broken
+    kernel (observable via supports)."""
+    from cvgpuspeedup_tpu.exec import pallas_divergent as pd
+
+    bufs = [rng.integers(0, 256, (96, 96)).astype(np.uint8) for _ in range(2)]
+    cams = [cvgs.fuse(cvgs.read_yuv(b),
+                      cvgs.convert_yuv_to_rgb(out_dtype=np.float32))
+            for b in bufs]
+    seq1 = cvgs.build_operation_sequence(cvgs.batch_read(cams),
+                                         cvgs.write_tensor())
+    flat = np.zeros((2, 64, 96, 3), np.float32)
+    seq2 = cvgs.build_operation_sequence(cvgs.image(flat), cvgs.write_tensor())
+    assert not pd.supports([seq1, seq2], [1, 2])
