@@ -830,15 +830,7 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
                     wv_lhs, win, (((1,), (0,)), ((), ())),
                     precision=_DEFAULT, preferred_element_type=jnp.float32,
                 )  # (h_out, core_w*nch), exact multiples of 1/den_y
-            # Dekker split: t == hi + lo exactly (hi an 8-bit-significand
-            # head, lo a <=2^8-bounded multiple of 1/den_y — both bf16-exact)
-            t_hi = t.astype(jnp.bfloat16)
-            if _ABLATION == "nodekker":
-                lhs = t_hi
-            else:
-                t_lo = (t - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                lhs = jnp.concatenate([t_hi, t_lo], axis=1)
-            return dict(z=z, lhs=lhs, row_ins=row_ins, new_w=new_w, ox=ox)
+            return dict(z=z, t=t, row_ins=row_ins, new_w=new_w, ox=ox)
 
         def plane_body(z, slot, j):
             """Resize + chain + write for plane z (ring slot `slot`, group
@@ -1012,10 +1004,22 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
                 for j in range(group_p)
             ]
             if metas[0] is not None:  # not the floor ablation
-                lhs_all = (
-                    metas[0]["lhs"] if group_p == 1
-                    else jnp.concatenate([m["lhs"] for m in metas], axis=0)
+                # ONE group-level Dekker split: t == hi + lo exactly (hi an
+                # 8-bit-significand head, lo a <=2^8-bounded multiple of
+                # 1/den_y — both bf16-exact); splitting the concatenated
+                # group block keeps the VPU in a few big ops instead of
+                # 3*group_p small ones
+                t_all = (
+                    metas[0]["t"] if group_p == 1
+                    else jnp.concatenate([m["t"] for m in metas], axis=0)
                 )
+                t_hi = t_all.astype(jnp.bfloat16)
+                if _ABLATION == "nodekker":
+                    lhs_all = t_hi
+                else:
+                    t_lo = (t_all - t_hi.astype(jnp.float32)).astype(
+                        jnp.bfloat16)
+                    lhs_all = jnp.concatenate([t_hi, t_lo], axis=1)
                 if _ABLATION == "noh":  # bisection: skip the group H dot
                     vals_grp = lhs_all[:, : nch * w_out].astype(jnp.float32)
                 else:
