@@ -97,7 +97,7 @@ def make_runner(pipeline, lower_fn, iters=100):
 
 
 def differential_time(pipeline, lower_fn, inner=100, k_small=2, k_large=22,
-                      reps=5):
+                      reps=9):
     """Median per-batch device time.
 
     Protocol: ONE jitted program of `inner` unrolled kernel invocations
@@ -141,6 +141,8 @@ def differential_time(pipeline, lower_fn, inner=100, k_small=2, k_large=22,
         raise RuntimeError("differential never produced a usable signal")
     diffs.sort()
     log(f"  per-batch us: {[f'{d*1e6:.1f}' for d in diffs]}")
+    # the tunnel adds heavy-tailed jitter (spreads of 3x seen): report the
+    # median, which a single outlier cannot move
     return diffs[len(diffs) // 2]
 
 
@@ -154,7 +156,7 @@ def measure_floor(pipeline):
     try:
         return differential_time(
             pipeline, lambda p: pallas_backend.try_lower(p, interpret=False),
-            reps=3,
+            reps=7,
         )
     finally:
         pallas_backend._ABLATION = None

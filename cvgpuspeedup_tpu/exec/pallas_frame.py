@@ -62,8 +62,12 @@ from .pallas_backend import _ScalarVec, _apply_chain_planar, _chain_out_struct
 _HIGHEST = jax.lax.Precision.HIGHEST
 _DEFAULT = jax.lax.Precision.DEFAULT
 
-#: total on-chip footprint bound for window rings + weights + blocks
-_VMEM_BUDGET = 12 * 1024 * 1024
+#: total on-chip footprint bound for window rings + weights + blocks.
+#: The pallas_call sets vmem_limit_bytes=32M (Mosaic's real footprint runs
+#: ~4-6M above this estimate: double-buffered weight inputs + retiling
+#: copies), so 20M here keeps ~6M of margin while letting wide sources
+#: (6144-lane NV12) pick a deep band height instead of a 135-step R=8 plan.
+_VMEM_BUDGET = 20 * 1024 * 1024
 #: budget for the baked horizontal matrices (all variants)
 _WH_BUDGET = 6 * 1024 * 1024
 #: benchmark-only kernel ablation (None = real kernel): "floor" = DMA +
@@ -905,4 +909,13 @@ def _emit_frame_resize(pipeline, plan: dict, *, interpret: bool):
         out_shape=out_shape,
         interpret=interpret,
         cost_estimate=cost,
+        # Mosaic's DEFAULT scoped-vmem limit is 16M and its real footprint
+        # (double-buffered weight inputs + retiling copies) runs ~4-6M above
+        # the planner's estimate: a 6144-wide NV12 config compiled to 17.1M
+        # and failed at the default limit while computing CORRECTLY at 32M
+        # (v5e VMEM is far larger). Keep the planner budget at 12M and give
+        # the compiler the headroom it actually uses.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024
+        ),
     )(rstarts, fparams, *srcs, *weight_inputs)

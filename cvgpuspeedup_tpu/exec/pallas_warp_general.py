@@ -324,13 +324,22 @@ def _emit(pipeline, plan: dict, *, interpret: bool):
     # to the full array dims: emit a strip-major 4D intermediate whose minor
     # dim is the FULL tile width T, and transpose back with one XLA copy
     # (~2x output bytes; the kernel replaces an ~8 ms gather path)
+    # band-pair grouping: two independent sub-band pipelines per grid step —
+    # each tile's chain alternates MXU (one-hot dots) and VPU (select-lerp)
+    # serially, so a single tile leaves one unit idle at every stage; two
+    # interleaved tiles let the Mosaic scheduler overlap tile A's selects
+    # with tile B's dots (the flagship kernel's plane-grouping lesson)
+    G_P = 2 if n_bands % 2 == 0 else 1
+    n_groups = n_bands // G_P
+
     out_shape = jax.ShapeDtypeStruct(
         (n_strips, out_ch, dst_h, T), out_dtype
     )
     out_specs = pl.BlockSpec(
-        (1, out_ch, R, T), lambda js, ib, *_: (js, 0, ib, 0)
+        (1, out_ch, G_P * R, T), lambda js, ib, *_: (js, 0, ib, 0)
     )
     n_outs = 1
+    n_steps = n_strips * n_groups
 
     def kernel(tp_ref, fp_ref, src_ref, *rest):
         out_refs = rest[:n_outs]
@@ -350,31 +359,38 @@ def _emit(pipeline, plan: dict, *, interpret: bool):
         kmul = lambda x, y: _rmul(x, y, fp_ref[n_fp - 1])
 
         js = pl.program_id(0)
-        ib = pl.program_id(1)
-        fs = js * n_bands + ib
+        ibg = pl.program_id(1)
+        st = js * n_groups + ibg
 
-        def dma(flat, slot):
+        def dma(ft, slot):
             return pltpu.make_async_copy(
                 src_ref.at[
-                    pl.ds(pl.multiple_of(tp_ref[flat, 0], 8), K),
-                    pl.ds(pl.multiple_of(tp_ref[flat, 1], 128), L),
+                    pl.ds(pl.multiple_of(tp_ref[ft, 0], 8), K),
+                    pl.ds(pl.multiple_of(tp_ref[ft, 1], 128), L),
                 ],
                 window.at[slot],
                 sem.at[slot],
             )
 
-        @pl.when(fs == 0)
-        def _():
-            dma(0, 0).start()
+        def tile_flat(stp, g):
+            """Flat tile index of sub-band g of step stp (strip-major)."""
+            return ((stp // n_groups) * n_bands
+                    + (stp % n_groups) * G_P + g)
 
-        @pl.when(fs + 1 < n_tiles)
+        @pl.when(st == 0)
         def _():
-            dma(fs + 1, (fs + 1) % 2).start()
+            for g in range(G_P):
+                dma(tile_flat(0, g), g).start()
+
+        @pl.when(st + 1 < n_steps)
+        def _():
+            for g in range(G_P):
+                dma(tile_flat(st + 1, g), ((st + 1) % 2) * G_P + g).start()
 
         # per-strip one-hot H-gather matrix, built once per strip: column
         # block h holds taps (stair(X) - stair(X0) + h)*nch + ch, channel-
         # major within the block (planar outputs fall straight out)
-        @pl.when(ib == 0)
+        @pl.when(ibg == 0)
         def _():
             col = jax.lax.broadcasted_iota(jnp.int32, (1, (S_h + 1) * tn), 1)
             hp = col // tn
@@ -390,155 +406,162 @@ def _emit(pipeline, plan: dict, *, interpret: bool):
             lrow = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
             gmat[...] = (lrow == lane_t).astype(jnp.bfloat16)
 
-        dma(fs, fs % 2).wait()
+        # ALL the step's waits before ANY body (a semaphore wait is a
+        # scheduling barrier; interleaving wait->body would re-serialize)
+        for g in range(G_P):
+            dma(tile_flat(st, g), (st % 2) * G_P + g).wait()
 
-        wy0_t = tp_ref[fs, 0]
-        wl0_t = tp_ref[fs, 1]
-        shift0_t = tp_ref[fs, 2]
-        hbase_t = tp_ref[fs, 3]
-        r0 = ib * R
         x0 = js * T
         # minDX: the d*X corner minimum — sign is static (bucketed)
         mindx = kmul(D, (x0 if sgn_d else x0 + T - 1).astype(jnp.float32))
 
-        # ---- window -> bf16 (u8 values are bf16-exact) ----
-        win = window[fs % 2].astype(jnp.int32).astype(jnp.bfloat16)
+        def tile_body(g):
+            ft = tile_flat(st, g)
+            wy0_t = tp_ref[ft, 0]
+            wl0_t = tp_ref[ft, 1]
+            shift0_t = tp_ref[ft, 2]
+            hbase_t = tp_ref[ft, 3]
+            r0 = (ibg * G_P + g) * R
 
-        # ---- vertical candidate gather: ONE one-hot matmul, M = (s, r) ----
-        rowid = jax.lax.broadcasted_iota(jnp.int32, (S_v * R, 1), 0)
-        s_of = rowid // R
-        r_of = rowid % R
-        rf_col = (r0 + r_of).astype(jnp.float32)
-        kbase_col = (
-            jnp.floor(mindx + (kmul(E, rf_col) + F)).astype(jnp.int32)
-            - wy0_t
-        )
-        kk = jnp.clip(kbase_col + s_of, 0, K - 1)
-        kcol = jax.lax.broadcasted_iota(jnp.int32, (S_v * R, K), 1)
-        gv = (kcol == kk).astype(jnp.bfloat16)
-        v_all = jax.lax.dot_general(
-            gv, win, (((1,), (0,)), ((), ())),
-            precision=_DEFAULT, preferred_element_type=jnp.float32,
-        )  # (S_v*R, L): candidate source rows, exact u8 values
+            # ---- window -> bf16 (u8 values are bf16-exact) ----
+            win = window[(st % 2) * G_P + g].astype(jnp.int32).astype(
+                jnp.bfloat16)
 
-        # ---- consumer-unique select-lerp on the (r, source-lane) grid ----
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
-        abs_lane = wl0_t + lane
-        p_px = abs_lane // nch
-        rf = (r0 + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)).astype(
-            jnp.float32
-        )
-        orow = kmul(B, rf) + C  # (R, 1)
-        inv_a = 1.0 / A
-        p_f = p_px.astype(jnp.float32)
-        xhat = jnp.floor(((p_f - 1.0) - orow) * inv_a).astype(jnp.int32)
-
-        def ixof(xi):
-            return jnp.floor(
-                kmul(A, xi.astype(jnp.float32)) + orow
-            ).astype(jnp.int32)
-
-        # smallest X with ix(X) >= p-1, judged by the SAME floor staircase
-        # the forward pass uses (consistency by construction; the division
-        # above is only a +-1 estimate)
-        pm1 = p_px - 1
-        xstar = jnp.where(
-            ixof(xhat - 1) >= pm1, xhat - 1,
-            jnp.where(ixof(xhat) >= pm1, xhat, xhat + 1),
-        )
-        xstar = jnp.clip(xstar, x0, x0 + T - 1)
-        syl = kmul(D, xstar.astype(jnp.float32)) + (kmul(E, rf) + F)  # (R, L)
-        iyf = jnp.floor(syl)
-        fy = syl - iyf
-        iyi = iyf.astype(jnp.int32)
-        vt = ((iyi >= 0) & (iyi < src_h)).astype(jnp.float32)
-        vb = ((iyi + 1 >= 0) & (iyi + 1 < src_h)).astype(jnp.float32)
-        kbase_r = jnp.floor(mindx + (kmul(E, rf) + F)).astype(jnp.int32)
-        sel = iyi - kbase_r  # (R, L) in [0, S_v-2] by sizing
-        wt = (1.0 - fy) * vt
-        wb = fy * vb
-        acc = jnp.zeros((R, L), jnp.float32)
-        for s in range(S_v):
-            w_s = jnp.where(sel == s, wt, 0.0)
-            if s >= 1:
-                w_s = w_s + jnp.where(sel == s - 1, wb, 0.0)
-            acc = acc + w_s * v_all[s * R : (s + 1) * R]
-        # out-of-source vertical taps contribute the border (exact
-        # CONDITIONAL semantics: border rides the missing weight)
-        border_lane = jnp.zeros((1, L), jnp.float32)
-        for ci in range(nch):
-            border_lane = border_lane + jnp.where(
-                abs_lane % nch == ci, fp_ref[6 + ci], 0.0
+            # ---- vertical candidate gather: ONE one-hot matmul ----
+            rowid = jax.lax.broadcasted_iota(jnp.int32, (S_v * R, 1), 0)
+            s_of = rowid // R
+            r_of = rowid % R
+            rf_col = (r0 + r_of).astype(jnp.float32)
+            kbase_col = (
+                jnp.floor(mindx + (kmul(E, rf_col) + F)).astype(jnp.int32)
+                - wy0_t
             )
-        vc = acc + border_lane * (1.0 - (wt + wb))
+            kk = jnp.clip(kbase_col + s_of, 0, K - 1)
+            kcol = jax.lax.broadcasted_iota(jnp.int32, (S_v * R, K), 1)
+            gv = (kcol == kk).astype(jnp.bfloat16)
+            v_all = jax.lax.dot_general(
+                gv, win, (((1,), (0,)), ((), ())),
+                precision=_DEFAULT, preferred_element_type=jnp.float32,
+            )  # (S_v*R, L): candidate source rows, exact u8 values
 
-        # ---- lane re-base: ONE traced roll (pow2-padded f32) ----
-        if L_pad > L:
-            vc = jnp.concatenate(
-                [vc, jnp.zeros((R, L_pad - L), jnp.float32)], axis=1
+            # ---- consumer-unique select-lerp on the (r, lane) grid ----
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+            abs_lane = wl0_t + lane
+            p_px = abs_lane // nch
+            rf = (r0 + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)).astype(
+                jnp.float32
             )
-        vc = pltpu.roll(vc, -shift0_t, 1)[:, :L]
+            orow = kmul(B, rf) + C  # (R, 1)
+            inv_a = 1.0 / A
+            p_f = p_px.astype(jnp.float32)
+            xhat = jnp.floor(((p_f - 1.0) - orow) * inv_a).astype(jnp.int32)
 
-        # ---- Dekker-3 split + batched one-hot H dots ----
-        hi = vc.astype(jnp.bfloat16)
-        res1 = vc - hi.astype(jnp.float32)
-        lo = res1.astype(jnp.bfloat16)
-        lo2 = (res1 - lo.astype(jnp.float32)).astype(jnp.bfloat16)
-        g = gmat[...]
-        dn = (((1,), (0,)), ((), ()))
-        d_all = (
-            jax.lax.dot_general(hi, g, dn, precision=_DEFAULT,
-                                preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(lo, g, dn, precision=_DEFAULT,
-                                  preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(lo2, g, dn, precision=_DEFAULT,
-                                  preferred_element_type=jnp.float32)
-        )  # (R, (S_h+1)*tn)
+            def ixof(xi):
+                return jnp.floor(
+                    kmul(A, xi.astype(jnp.float32)) + orow
+                ).astype(jnp.int32)
 
-        # ---- horizontal select-lerp on the (r, X, channel) output grid ----
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, tn), 1)
-        cch = col // T
-        xr = col % T
-        xf = (x0 + xr).astype(jnp.float32)
-        u = kmul(A, xf) + orow  # (R, tn)
-        ixf2 = jnp.floor(u)
-        fx = u - ixf2
-        ixi = ixf2.astype(jnp.int32)
-        vx0 = ((ixi >= 0) & (ixi < src_w)).astype(jnp.float32)
-        vx1 = ((ixi + 1 >= 0) & (ixi + 1 < src_w)).astype(jnp.float32)
-        stair = jnp.floor(kmul(A, xf)).astype(jnp.int32)
-        hsel = ixi - stair - hbase_t  # (R, tn) in [0, S_h-2] by sizing
-        wa = (1.0 - fx) * vx0
-        wbx = fx * vx1
-        out_flat = jnp.zeros((R, tn), jnp.float32)
-        for h in range(S_h):
-            m = hsel == h
-            out_flat = (
-                out_flat
-                + jnp.where(m, wa, 0.0) * d_all[:, h * tn : (h + 1) * tn]
-                + jnp.where(m, wbx, 0.0)
-                * d_all[:, (h + 1) * tn : (h + 2) * tn]
+            # smallest X with ix(X) >= p-1, judged by the SAME floor
+            # staircase the forward pass uses (consistency by construction;
+            # the division above is only a +-1 estimate)
+            pm1 = p_px - 1
+            xstar = jnp.where(
+                ixof(xhat - 1) >= pm1, xhat - 1,
+                jnp.where(ixof(xhat) >= pm1, xhat, xhat + 1),
             )
-        border_col = jnp.zeros((1, tn), jnp.float32)
-        for ci in range(nch):
-            border_col = border_col + jnp.where(cch == ci, fp_ref[6 + ci], 0.0)
-        out_flat = out_flat + border_col * (1.0 - (wa + wbx))
+            xstar = jnp.clip(xstar, x0, x0 + T - 1)
+            syl = (kmul(D, xstar.astype(jnp.float32))
+                   + (kmul(E, rf) + F))  # (R, L)
+            iyf = jnp.floor(syl)
+            fy = syl - iyf
+            iyi = iyf.astype(jnp.int32)
+            vt = ((iyi >= 0) & (iyi < src_h)).astype(jnp.float32)
+            vb = ((iyi + 1 >= 0) & (iyi + 1 < src_h)).astype(jnp.float32)
+            kbase_r = jnp.floor(mindx + (kmul(E, rf) + F)).astype(jnp.int32)
+            sel = iyi - kbase_r  # (R, L) in [0, S_v-2] by sizing
+            wt = (1.0 - fy) * vt
+            wb = fy * vb
+            acc = jnp.zeros((R, L), jnp.float32)
+            for sc in range(S_v):
+                w_s = jnp.where(sel == sc, wt, 0.0)
+                if sc >= 1:
+                    w_s = w_s + jnp.where(sel == sc - 1, wb, 0.0)
+                acc = acc + w_s * v_all[sc * R : (sc + 1) * R]
+            # out-of-source vertical taps contribute the border (exact
+            # CONDITIONAL semantics: border rides the missing weight)
+            border_lane = jnp.zeros((1, L), jnp.float32)
+            for ci in range(nch):
+                border_lane = border_lane + jnp.where(
+                    abs_lane % nch == ci, fp_ref[6 + ci], 0.0
+                )
+            vc = acc + border_lane * (1.0 - (wt + wb))
 
-        planes = [out_flat[:, ci * T : (ci + 1) * T] for ci in range(nch)]
-        planes = _apply_chain_planar(chain_k, planes)
+            # ---- lane re-base: ONE traced roll (pow2-padded f32) ----
+            if L_pad > L:
+                vc = jnp.concatenate(
+                    [vc, jnp.zeros((R, L_pad - L), jnp.float32)], axis=1
+                )
+            vc = pltpu.roll(vc, -shift0_t, 1)[:, :L]
 
-        for ci, pline in enumerate(planes):
-            out_refs[0][0, ci] = pline
+            # ---- Dekker-3 split + ONE M-stacked one-hot H dot ----
+            hi = vc.astype(jnp.bfloat16)
+            res1 = vc - hi.astype(jnp.float32)
+            lo = res1.astype(jnp.bfloat16)
+            lo2 = (res1 - lo.astype(jnp.float32)).astype(jnp.bfloat16)
+            dn = (((1,), (0,)), ((), ()))
+            d3 = jax.lax.dot_general(
+                jnp.concatenate([hi, lo, lo2], axis=0), gmat[...], dn,
+                precision=_DEFAULT, preferred_element_type=jnp.float32,
+            )  # (3R, (S_h+1)*tn)
+            d_all = d3[:R] + d3[R : 2 * R] + d3[2 * R :]
+
+            # ---- horizontal select-lerp on the (r, X, channel) grid ----
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, tn), 1)
+            cch = col // T
+            xr = col % T
+            xf = (x0 + xr).astype(jnp.float32)
+            u = kmul(A, xf) + orow  # (R, tn)
+            ixf2 = jnp.floor(u)
+            fx = u - ixf2
+            ixi = ixf2.astype(jnp.int32)
+            vx0 = ((ixi >= 0) & (ixi < src_w)).astype(jnp.float32)
+            vx1 = ((ixi + 1 >= 0) & (ixi + 1 < src_w)).astype(jnp.float32)
+            stair = jnp.floor(kmul(A, xf)).astype(jnp.int32)
+            hsel = ixi - stair - hbase_t  # (R, tn) in [0, S_h-2] by sizing
+            wa = (1.0 - fx) * vx0
+            wbx = fx * vx1
+            out_flat = jnp.zeros((R, tn), jnp.float32)
+            for h in range(S_h):
+                mm = hsel == h
+                out_flat = (
+                    out_flat
+                    + jnp.where(mm, wa, 0.0) * d_all[:, h * tn : (h + 1) * tn]
+                    + jnp.where(mm, wbx, 0.0)
+                    * d_all[:, (h + 1) * tn : (h + 2) * tn]
+                )
+            border_col = jnp.zeros((1, tn), jnp.float32)
+            for ci in range(nch):
+                border_col = border_col + jnp.where(
+                    cch == ci, fp_ref[6 + ci], 0.0)
+            out_flat = out_flat + border_col * (1.0 - (wa + wbx))
+
+            planes = [out_flat[:, ci * T : (ci + 1) * T] for ci in range(nch)]
+            planes = _apply_chain_planar(chain_k, planes)
+            for ci, pline in enumerate(planes):
+                out_refs[0][0, ci, g * R : (g + 1) * R] = pline
+
+        for g in range(G_P):
+            tile_body(g)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_strips, n_bands),
+        grid=(n_strips, n_groups),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2, K, L), plan["src_dtype"]),
+            pltpu.VMEM((2 * G_P, K, L), plan["src_dtype"]),
             pltpu.VMEM((L, (S_h + 1) * tn), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2 * G_P,)),
         ],
     )
 
