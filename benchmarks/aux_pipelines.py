@@ -440,6 +440,148 @@ def bench_divergent(rec):
           f"{t_base/t_fused:.1f}x", file=sys.stderr)
 
 
+
+
+def bench_warp_general(rec):
+    """GENERAL-affine warp (rotation — the class the separable kernel
+    rejects, reference ``tests/warping/test_warping_opencv.cu:139-271``):
+    the candidate-gather Pallas kernel vs the per-op pattern whose warp
+    stage is XLA per-pixel gathers."""
+    import cv2
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (1080, 1920, 3)).astype(np.uint8)
+    M = cv2.getRotationMatrix2D((960, 540), 10.0, 1 / 3.0)
+
+    def make():
+        return cvgs.build_pipeline(
+            cvgs.warp(img, M, cvgs.Size(640, 360)),
+            cvgs.convert_to(np.float32, alpha=1 / 255.0),
+            cvgs.split_tensor(),
+        )
+
+    s_fused, be = diff_time_pipeline(
+        make, lambda l: getattr(l, "shape", None) == (6,), inner=20)
+    t_fused = _median(s_fused)
+
+    img_dev = jax.device_put(img)
+    op_warp = jax.jit(lambda f: cvgs.execute_operations(
+        cvgs.warp(f, M, cvgs.Size(640, 360)),
+        backend=cvgs.ParBackend.XLA))
+    op_conv = jax.jit(lambda t: t * np.float32(1 / 255.0))
+    op_split = jax.jit(lambda t: jnp.transpose(t, (2, 0, 1)))
+
+    def step():
+        return op_split(op_conv(op_warp(img_dev)))
+
+    s_base = time_unfused(step, jax.jit(lambda o: o[0, 0, 0]), frames=2)
+    t_base = _median(s_base)
+    rec.add_case("warp_1080p_rotation10deg_normalize_split",
+                 TimingStats.from_samples(s_base),
+                 TimingStats.from_samples(s_fused))
+    print(f"warp 1080p 10deg rotation: fused({be.name}) {t_fused*1e6:.1f} us,"
+          f" unfused {t_base*1e6:.1f} us, {t_base/t_fused:.1f}x",
+          file=sys.stderr)
+
+
+def bench_divergent_geometry(rec):
+    """Divergent batch with GEOMETRY reads — the reference's full divergent
+    demo (``tests/resize/test_fused_resize.cu:85-92``): seq1 = fused NV12 ->
+    RGB -> resize per camera, seq2 = pass-through, ONE kernel launch vs the
+    per-op multi-dispatch pattern."""
+    rng = np.random.default_rng(6)
+    SH, SW, H2, W2 = 128, 512, 64, 256
+    n = 8
+    bufs = [rng.integers(0, 256, (SH * 3 // 2, SW)).astype(np.uint8)
+            for _ in range(n)]
+    flat = rng.integers(0, 200, (n, H2, W2, 3)).astype(np.float32)
+    ids = tuple(1 if z % 2 == 0 else 2 for z in range(n))
+
+    def make_seqs():
+        cams = [cvgs.resize(
+            cvgs.fuse(cvgs.read_yuv(b),
+                      cvgs.convert_yuv_to_rgb(
+                          standard=cvgs.ColorStandard.BT709,
+                          out_dtype=np.float32)),
+            cvgs.Size(W2, H2)) for b in bufs]
+        seq1 = cvgs.build_operation_sequence(
+            cvgs.batch_read(cams), cvgs.multiply(0.5), cvgs.write_tensor())
+        seq2 = cvgs.build_operation_sequence(
+            cvgs.image(flat), cvgs.write_tensor())
+        return [seq1, seq2]
+
+    from cvgpuspeedup_tpu.exec import pallas_divergent
+
+    seqs = make_seqs()
+    use_pallas = (jax.default_backend() == "tpu"
+                  and pallas_divergent.supports(seqs, ids))
+    leaves, treedef = jax.tree_util.tree_flatten(seqs)
+    idx = next(i for i, l in enumerate(leaves)
+               if getattr(l, "shape", None) == ()
+               and jnp.result_type(l) == jnp.float32)
+
+    @jax.jit
+    def run(ls, seed):
+        tot = jnp.float32(0.0)
+        for i in range(30):
+            lv = list(ls)
+            lv[idx] = lv[idx] + jnp.asarray(i % 251, lv[idx].dtype) + seed
+            s1, s2 = jax.tree_util.tree_unflatten(treedef, lv)
+            if use_pallas:
+                out = pallas_divergent.try_lower([s1, s2], ids)
+            else:
+                out = cvgs.launch_divergent_batch(
+                    ids, s1, s2, backend=cvgs.ParBackend.XLA)
+            tot = tot + out[(0,) * out.ndim].astype(jnp.float32)
+        return tot
+
+    dl = [jax.device_put(l) for l in leaves]
+    sync(run(dl, np.uint8(0)))
+
+    def run_k(k):
+        t = None
+        for j in range(k):
+            t = run(dl, np.uint8(j % 3))
+        sync(t)
+
+    s_fused = robust_diffs(run_k, 30, 1, 5)
+    t_fused = _median(s_fused)
+
+    # unfused: per camera an NV12->RGB program + a resize program + a
+    # normalize program, plus the pass-through copies and the final stack
+    op_yuv = jax.jit(lambda b: cvgs.execute_operations(
+        cvgs.read_yuv(b),
+        cvgs.convert_yuv_to_rgb(standard=cvgs.ColorStandard.BT709,
+                                out_dtype=np.float32),
+        backend=cvgs.ParBackend.XLA))
+    op_res = jax.jit(lambda t: cvgs.execute_operations(
+        cvgs.resize(cvgs.image(t), cvgs.Size(W2, H2)),
+        backend=cvgs.ParBackend.XLA))
+    op_mul = jax.jit(lambda t: t * np.float32(0.5))
+    op_stack = jax.jit(lambda xs: jnp.stack(xs))
+    bufs_dev = [jax.device_put(b) for b in bufs]
+    flat_dev = jax.device_put(flat)
+
+    def step():
+        outs = []
+        for z in range(n):
+            if ids[z] == 1:
+                outs.append(op_mul(op_res(op_yuv(bufs_dev[z]))))
+            else:
+                outs.append(flat_dev[z])
+        return op_stack(outs)
+
+    s_base = time_unfused(step, jax.jit(lambda o: o[0, 0, 0, 0]), frames=2)
+    t_base = _median(s_base)
+    rec.add_case("divergent_nv12_resize_passthrough_8planes",
+                 TimingStats.from_samples(s_base),
+                 TimingStats.from_samples(s_fused))
+    print(f"divergent NV12+resize demo: fused("
+          f"{'PALLAS' if use_pallas else 'XLA'}) {t_fused*1e6:.1f} us, "
+          f"unfused {t_base*1e6:.1f} us, {t_base/t_fused:.1f}x",
+          file=sys.stderr)
+
+
 def main():
     print(f"backend: {jax.default_backend()}", file=sys.stderr)
     sync(jnp.sum(jnp.ones((8, 8))))  # warm the transfer path
@@ -448,7 +590,9 @@ def main():
     bench_nv12_6k(rec)
     bench_circular_tensor(rec)
     bench_warp(rec)
+    bench_warp_general(rec)
     bench_divergent(rec)
+    bench_divergent_geometry(rec)
     # physically-impossible rows must never reach the committed artifact
     # (VERDICT r2 weak #2: a clamped differential once wrote a 5 ps row)
     for row in rec.rows:
