@@ -20,9 +20,14 @@ def _frame(rng, dtype, ch):
     return (rng.random(shape, dtype=np.float32) * 255).astype(dtype)
 
 
-@pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.float32])
-@pytest.mark.parametrize("ch", [1, 3, 4])
+@pytest.mark.parametrize(
+    "dtype", [np.uint8, np.uint16, np.int16, np.int32, np.float32, np.float64]
+)
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
 def test_type_sweep_xla_and_pallas(rng, dtype, ch):
+    """Reference sweeps 26 dtype combos over the batched pipelines
+    (``tests/batchread/test_batchread_x_write3D.cu:28-31``); this covers
+    every SUPPORTED_DEPTH x channel count through both backends."""
     frame = _frame(rng, dtype, ch)
     rects = np.array([[i, 2 * i, 40, 56] for i in range(4)], np.int32)
     ops = lambda: [

@@ -26,6 +26,33 @@ def test_make_border_vs_cv2(rng, mode):
     check_exact(out, ref, mode.name)
 
 
+@pytest.mark.parametrize(
+    "mode", [cvgs.BorderMode.REPLICATE, cvgs.BorderMode.REFLECT_101,
+             cvgs.BorderMode.CONSTANT]
+)
+def test_border_under_warp(rng, mode):
+    """Border read as the warp's source (the reference composes
+    ``border_reader`` inside warping — ``tests/warping/test_warping_opencv.cu:18``):
+    warping the border-extended virtual image must equal cv2.warpAffine of the
+    cv2.copyMakeBorder result."""
+    img = rng.integers(0, 256, (30, 40, 3)).astype(np.uint8)
+    t, b, l, r = 4, 3, 5, 2
+    virtual = cvgs.make_border(img, t, b, l, r, mode=mode, value=9)
+    ang, scale = 10.0, 0.8
+    m = cv2.getRotationMatrix2D((20.0, 15.0), ang, scale)
+    out = np.asarray(
+        cvgs.execute_operations(cvgs.warp(virtual, m, cvgs.Size(48, 40)))
+    )
+    ext = cv2.copyMakeBorder(img, t, b, l, r, CV_MODE[mode], value=(9, 9, 9))
+    ref = cv2.warpAffine(
+        ext.astype(np.float32), m, (48, 40), flags=cv2.INTER_LINEAR,
+        borderMode=cv2.BORDER_CONSTANT, borderValue=0,
+    )
+    from conftest import check_float
+    # cv2 CPU warp uses 1/32-px fixed-point coords (see test_warp.py)
+    check_float(out, ref, tol=2e-2, msg=f"border({mode.name})->warp vs cv2")
+
+
 def test_border_then_resize(rng):
     """Border read as back-op of a resize (fused virtual image)."""
     img = rng.integers(0, 256, (12, 16, 3)).astype(np.uint8)
