@@ -92,6 +92,41 @@ def _seq_info(seq) -> Optional[dict]:
     elif isinstance(read, CircularBatchRead):
         src, kind, asc = read.data, "circ", read.ascendent
         packed = read.packed_channels
+    elif isinstance(read, BatchResizeRead) and read.frame is not None:
+        # GEOMETRY read, flagship shape: per-plane CROPS of one shared frame,
+        # bilinear-resized — the reference's divergent demo routes arbitrary
+        # per-plane sequences incl. batched reads in one launch
+        # (tests/batchread/test_circularbatchread_x_write3D.cu:147-156).
+        # Uniform crop SIZE (bucketed window geometry is static); positions
+        # are runtime scalar-prefetch values, so rect jitter never
+        # recompiles. Ragged/letterbox stays with the flagship kernel.
+        from . import pallas_backend as pbk
+
+        if (read.aspect_ratio != AspectRatio.IGNORE_AR
+                or read.interp != InterpolationType.INTER_LINEAR
+                or read.used_planes is not None
+                or read.uniform_wh is None
+                or read.max_crop_w is None or read.max_crop_h is None):
+            return None
+        geo = pbk._window_geometry(read)
+        if geo is None:
+            return None
+        src = read.frame
+        sdt = jnp.dtype(src.dtype)
+        if sdt not in (jnp.dtype(jnp.uint8), jnp.dtype(jnp.float32)):
+            return None
+        c = read.source_dims()[2]
+        lanes_alloc = 1 << (geo["lanes"] - 1).bit_length()
+        chain = _flat_chain(seq.compute)
+        if chain is None:
+            return None
+        if not isinstance(seq.write, (TensorWrite, Write2D)):
+            return None
+        return dict(src=src, kind="crop_resize", asc=True, chain=chain,
+                    read=read, pshape=(read.dsize.height, read.dsize.width, c),
+                    packed=read.packed_channels, geo=geo,
+                    lanes_alloc=lanes_alloc,
+                    sshape=(geo["win_h"], lanes_alloc, 1))
     elif isinstance(read, BatchResizeRead) and read.stack is not None:
         # GEOMETRY read: whole-plane static resize per group (the reference
         # mixes an NV12-read+resize sequence with a pass-through in ONE
@@ -262,21 +297,40 @@ def _plan(seqs: Sequence, plane_ids) -> Optional[list]:
             return None
         if info["kind"] in ("image", "resize", "nv12") and int(s.shape[0]) != n:
             return None
+        if info["kind"] == "crop_resize" and info["read"].num_planes != n:
+            return None
         infos.append(info)
     h, w, c = shape0
-    if h % 8 or (w * c) % 128:
+    # output lanes are always the FULL minor dim of the (1, h, w*c) block —
+    # legal at any width (the 128-divisibility rule binds partial slices);
+    # only the row count needs the sublane grain
+    if h % 8:
         return None
     if jnp.dtype(out_dt).itemsize > 4:
         return None
     vmem = 0
     for info in infos:
         sh, sw, sc = info["sshape"]
-        if sh % 8 or (sw * sc) % 128:
+        # whole-plane window DMAs slice only the leading (plane) axis — full
+        # minor dims at any lane width keep whole HBM tiles, so only the
+        # sublane grain binds; crop_resize windows slice lanes PARTIALLY,
+        # but their 128-alignment is guaranteed by _window_geometry. NV12
+        # keeps the 128-lane gate: its in-kernel interleaved-UV row split
+        # was chip-validated on aligned buffers only.
+        if sh % 8:
+            return None
+        if info["kind"] == "nv12" and (sw * sc) % 128:
             return None
         vmem += 2 * sh * sw * sc * jnp.dtype(info["src"].dtype).itemsize
         if info["kind"] == "resize":
             # baked interpolation matrices live in VMEM for the launch
             vmem += (h * sh + sw * sc * w * c) * 4
+        elif info["kind"] == "crop_resize":
+            geo = info["geo"]
+            # phase-stacked V matrix + interleaved H matrix + widened window
+            vmem += (8 * h * geo["win_h"]
+                     + geo["core_w"] * c * w * c
+                     + geo["win_h"] * info["lanes_alloc"]) * 4
         elif info["kind"] == "nv12":
             luma_h = info["nv_src"][0]
             vmem += (h * (luma_h + luma_h // 2)
@@ -332,6 +386,16 @@ def _emit(plane_ids, infos, *, interpret: bool):
             for info in infos
         ]
     )
+    # per-plane crop positions for crop_resize groups (runtime scalar
+    # prefetch: rect jitter reuses the compiled kernel)
+    rects_all = jnp.stack(
+        [
+            jnp.asarray(info["read"].rects, jnp.int32)[:, :2]
+            if info["kind"] == "crop_resize"
+            else jnp.zeros((n, 2), jnp.int32)
+            for info in infos
+        ]
+    )
 
     # chain runtime leaves: one packed f32 prefetch array across sequences
     seq_meta = []
@@ -357,6 +421,16 @@ def _emit(plane_ids, infos, *, interpret: bool):
     srcs = []
     for info in infos:
         sh, sw, sc = info["sshape"]
+        if info["kind"] == "crop_resize":
+            # 2-D lane view of the shared frame (packed ingestion is free on
+            # the host; an on-device (H,W,C) frame pays one relayout here)
+            geo = info["geo"]
+            src = info["src"]
+            srcs.append(
+                src if src.ndim == 2
+                else jnp.reshape(src, (geo["src_h"], geo["src_lanes"]))
+            )
+            continue
         srcs.append(
             info["src"] if info["packed"]
             else jnp.reshape(info["src"],
@@ -370,15 +444,45 @@ def _emit(plane_ids, infos, *, interpret: bool):
     bake_inputs: List = []
     bake_specs: List = []
     bake_idx: List[Optional[int]] = []
+    def _const_spec(mat):
+        nd = len(mat.shape)
+        return pl.BlockSpec(mat.shape, lambda z, *_, _nd=nd: (0,) * _nd,
+                            memory_space=pltpu.VMEM)
+
     for info in infos:
         if info["kind"] == "nv12":
             bake_idx.append(len(bake_inputs))
             for mat in _bake_nv12(info, h, w):
                 bake_inputs.append(mat)
-                bake_specs.append(
-                    pl.BlockSpec(mat.shape, lambda z, *_: (0, 0),
-                                 memory_space=pltpu.VMEM)
-                )
+                bake_specs.append(_const_spec(mat))
+            continue
+        if info["kind"] == "crop_resize":
+            # phase-stacked exact V taps (window row = crop row + dy
+            # residual of the 8-aligned DMA start) + interleaved-lane H taps
+            geo = info["geo"]
+            crop_w, crop_h = (int(v) for v in info["read"].uniform_wh)
+            win_h, core_w = geo["win_h"], geo["core_w"]
+            iy0, iy1, wy = axis_lerp_np(np.arange(h, dtype=np.int64),
+                                        crop_h, h)
+            wv = np.zeros((8, h, win_h), np.float32)
+            for dy in range(8):
+                np.add.at(wv[dy], (np.arange(h), iy0 + dy),
+                          (1.0 - wy).astype(np.float32))
+                np.add.at(wv[dy], (np.arange(h), iy1 + dy),
+                          wy.astype(np.float32))
+            ix0, ix1, wx = axis_lerp_np(np.arange(w, dtype=np.int64),
+                                        crop_w, w)
+            wh_m = np.zeros((core_w * c, lanes), np.float32)
+            lam = np.arange(lanes)
+            xs, chs = lam // c, lam % c
+            np.add.at(wh_m, (ix0[xs] * c + chs, lam),
+                      (1.0 - wx)[xs].astype(np.float32))
+            np.add.at(wh_m, (ix1[xs] * c + chs, lam),
+                      wx[xs].astype(np.float32))
+            bake_idx.append(len(bake_inputs))
+            for mat in (jnp.asarray(wv), jnp.asarray(wh_m)):
+                bake_inputs.append(mat)
+                bake_specs.append(_const_spec(mat))
             continue
         if info["kind"] != "resize":
             bake_idx.append(None)
@@ -397,10 +501,7 @@ def _emit(plane_ids, infos, *, interpret: bool):
         bake_idx.append(len(bake_inputs))
         for mat in (jnp.asarray(wv), jnp.asarray(wh_m)):
             bake_inputs.append(mat)
-            bake_specs.append(
-                pl.BlockSpec(mat.shape, lambda z, *_: (0, 0),
-                             memory_space=pltpu.VMEM)
-            )
+            bake_specs.append(_const_spec(mat))
 
     # the kernel computes interleaved (h, lanes) rows; Mosaic cannot shape-
     # cast (h, w*c) -> (h, w, c) in-kernel (hardware rejects the tpu.reshape
@@ -409,7 +510,7 @@ def _emit(plane_ids, infos, *, interpret: bool):
     out_shape = jax.ShapeDtypeStruct((n, h, lanes), out_dtype)
     out_spec = pl.BlockSpec((1, h, lanes), lambda z, *_: (z, 0, 0))
 
-    def kernel(gid_ref, first_ref, fp_ref, *rest):
+    def kernel(gid_ref, first_ref, rects_ref, fp_ref, *rest):
         src_refs = rest[: len(srcs)]
         bake_refs = rest[len(srcs) : len(srcs) + len(bake_inputs)]
         base = len(srcs) + len(bake_inputs)
@@ -419,12 +520,39 @@ def _emit(plane_ids, infos, *, interpret: bool):
 
         z = pl.program_id(0)
 
+        def crop_copy(gi, info, zz, slot):
+            """Async copy descriptor for a crop_resize plane: dynamic
+            window at the plane's rect, 8-row/128-lane aligned starts
+            (residuals removed in the body like the flagship kernel)."""
+            geo = info["geo"]
+            la = info["lanes_alloc"]
+            xl = rects_ref[gi, zz, 0] * c
+            y0 = rects_ref[gi, zz, 1]
+            ys = jnp.minimum((y0 // 8) * 8, geo["src_h"] - geo["win_h"])
+            xs_l = jnp.minimum(
+                (xl // 128) * 128, geo["src_lanes"] - geo["lanes"]
+            )
+            dst = (
+                windows[gi].at[slot, :, pl.ds(0, geo["lanes"])]
+                if la != geo["lanes"] else windows[gi].at[slot]
+            )
+            return pltpu.make_async_copy(
+                src_refs[gi].at[
+                    pl.ds(pl.multiple_of(ys, 8), geo["win_h"]),
+                    pl.ds(pl.multiple_of(xs_l, 128), geo["lanes"]),
+                ],
+                dst, sem.at[gi, slot],
+            )
+
         def start_dma(zz, slot):
             for gi, info in enumerate(infos):
                 ring_n = int(info["src"].shape[0])
 
                 @pl.when(gid_ref[zz] == gi + 1)
                 def _(gi=gi, info=info, ring_n=ring_n):
+                    if info["kind"] == "crop_resize":
+                        crop_copy(gi, info, zz, slot).start()
+                        return
                     if info["kind"] == "image":
                         idx = zz
                     elif info["asc"]:
@@ -477,6 +605,46 @@ def _emit(plane_ids, infos, *, interpret: bool):
         for gi in range(len(infos)):
             @pl.when(gid_ref[z] == gi + 1)
             def _(gi=gi):
+                hp = jax.lax.Precision.HIGHEST
+                dn = (((1,), (0,)), ((), ()))
+                if infos[gi]["kind"] == "crop_resize":
+                    info = infos[gi]
+                    geo = info["geo"]
+                    crop_copy(gi, info, z, z % 2).wait()
+                    xw = windows[gi][z % 2]
+                    xl = rects_ref[gi, z, 0] * c
+                    y0 = rects_ref[gi, z, 1]
+                    dy = y0 - jnp.minimum(
+                        (y0 // 8) * 8, geo["src_h"] - geo["win_h"])
+                    dlanes = xl - jnp.minimum(
+                        (xl // 128) * 128, geo["src_lanes"] - geo["lanes"])
+                    # lane-residual rotate on the packed-i32 bitcast view
+                    # (4 rows per i32 sublane; pow2 lane count — the legal
+                    # traced-roll class), then static core slice + widen
+                    if xw.dtype.itemsize == 4:
+                        if dt.is_integer(xw.dtype):
+                            xw = xw.astype(jnp.int32)
+                        xw = pltpu.roll(xw, -dlanes, 1)
+                    else:
+                        v32 = pltpu.bitcast(xw, jnp.int32)
+                        xw = pltpu.bitcast(
+                            pltpu.roll(v32, -dlanes, 1), xw.dtype)
+                    xw = xw[:, : geo["core_w"] * c]
+                    if dt.is_integer(xw.dtype):
+                        xw = xw.astype(jnp.int32)
+                    xw = xw.astype(jnp.float32)
+                    bi = bake_idx[gi]
+                    t = jax.lax.dot_general(
+                        bake_refs[bi][dy], xw, dn, precision=hp,
+                        preferred_element_type=jnp.float32,
+                    )  # (h, core_w*c)
+                    x = jax.lax.dot_general(
+                        t, bake_refs[bi + 1][...], dn, precision=hp,
+                        preferred_element_type=jnp.float32,
+                    )  # (h, lanes)
+                    x = run_chain(gi, x)
+                    out_ref[0] = x.astype(out_dtype)
+                    return
                 # this plane's copy is the only one targeting this slot
                 pltpu.make_async_copy(
                     src_refs[gi].at[0], windows[gi].at[z % 2], sem.at[gi, z % 2]
@@ -485,8 +653,6 @@ def _emit(plane_ids, infos, *, interpret: bool):
                 if dt.is_integer(x.dtype) and x.dtype.itemsize == 1:
                     x = x.astype(jnp.int32)
                 x = x.astype(jnp.float32)
-                hp = jax.lax.Precision.HIGHEST
-                dn = (((1,), (0,)), ((), ()))
                 if infos[gi]["kind"] == "resize":
                     bi = bake_idx[gi]
                     x = jax.lax.dot_general(
@@ -524,7 +690,7 @@ def _emit(plane_ids, infos, *, interpret: bool):
                 out_ref[0] = x.astype(out_dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM) for _ in srcs]
         + bake_specs,
@@ -549,5 +715,5 @@ def _emit(plane_ids, infos, *, interpret: bool):
         out_shape=out_shape,
         interpret=interpret,
         cost_estimate=cost,
-    )(gids, firsts, fparams, *srcs, *bake_inputs)
+    )(gids, firsts, rects_all, fparams, *srcs, *bake_inputs)
     return jnp.reshape(out, (n, h, w, c))

@@ -30,25 +30,28 @@ VALUES are runtime leaves — only quantized magnitude buckets of (a, e, |b|,
    row: M axis = (candidate s, output row r) pairs, ``S_v = ceil(|d|(T-1))+3``
    candidates — the M axis is free real estate on the MXU, and one-hot x
    u8-valued bf16 is exact.
-3. **Consumer-unique select-lerp (VPU)**: with ``a >= 2`` (>=2x horizontal
-   downscale) each source column is a tap of AT MOST ONE output column per
-   row, so the vertical lerp can run on the (r, source-lane) grid: recover
-   the consumer ``X*(r, l)`` by inverting the SAME f32 floor staircase the
-   forward pass uses (division estimate + exact refinement — consistency by
-   construction), then select among the S_v candidates with the exact
-   ``fy``/border weights. Maps with ``a < 2`` fall back to XLA.
-4. **Lane re-base (one traced roll)**: one pow2-padded f32 lane rotate per
-   tile aligns the lerped row to a per-strip one-hot frame (the traced-roll
-   legal class: pow2 lanes, 32-bit).
-5. **Horizontal gather (MXU)**: per output row the taps sit at
-   ``floor(a*X) + h`` with ``h`` spanning ``S_h = ceil(|b|(R-1))+3`` values
-   (slope b across the band). One N-stacked one-hot matmul per Dekker part
-   computes ALL (h, X, channel) taps; the per-strip one-hot ``G`` is built
-   once per strip into scratch. The lerped values carry full 24-bit f32
-   significands, so the bf16 dots run on a Dekker-3 split (hi+lo+lo2
-   reproduces f32 to ~2^-24 relative — well inside the 1e-4 contract).
-6. Per-element ``fx``/border select-lerp, pointwise chain, planar writes —
-   shared shapes with the separable kernel.
+3. **Consumer-unique candidate selection (VPU)**: with ``a >= 2`` (>=2x
+   horizontal downscale) each source column is a tap of AT MOST ONE output
+   column per row, so per (r, source-lane) the UNWEIGHTED top/bottom source
+   rows ``VT = V[sel]``, ``VB = V[sel+1]`` can be recovered: invert the SAME
+   f32 floor staircase the forward pass uses (division estimate + exact
+   refinement — consistency by construction), then a telescoping
+   prefix-mask sweep (``V[0] + sum [sel>=s]*(V[s]-V[s-1])``) selects both
+   rows in one S_v pass sharing the masks. VT/VB are exact u8 values.
+   Maps with ``a < 2`` fall back to XLA.
+4. **Per-sub-band lane re-base (traced rolls)**: every 8-row sub-band
+   re-anchors to its own horizontal candidate base ``hbase_i`` with one
+   pow2-padded f32 lane rotate, so the H candidate span covers only 8 rows
+   of b-drift: ``S_h = ceil(|b|*7)+3`` at ANY band height R (the traced-
+   roll legal class: pow2 lanes, 32-bit).
+5. **Horizontal gather (MXU)**: one plain bf16 one-hot matmul of the
+   stacked ``[VT; VB]`` (2R rows) against the per-strip ``G`` computes ALL
+   (h, X, channel) taps EXACTLY — u8 integers are bf16-exact, so no Dekker
+   split is needed (round 3 ran a 3x-cost hi/lo/lo2 split on the lerped
+   f32 values; moving the lerp after the dot removed it).
+6. Full 4-tap lerp on the output grid — the same tap-replace -> h-lerp ->
+   v-lerp operation shape as the XLA sampler — then pointwise chain and
+   planar writes, shared shapes with the separable kernel.
 
 Perspective warps stay on the XLA path (documented; the reference itself
 downgrades perspective border parity to EXPECTED_FAIL,
@@ -171,7 +174,10 @@ def _plan(pipeline) -> Optional[dict]:
             continue
         if R % 8 or R > 32:
             continue
-        s_h = math.ceil(b_b * (R - 1)) + 3
+        # horizontal candidates span an 8-row SUB-band, not the full band:
+        # each sub-band's candidate base (hbase_i) is re-anchored by its own
+        # lane roll before the shared H dot, so S_h stays small at any R
+        s_h = math.ceil(b_b * 7) + 3
         if s_h > _MAX_SH:
             continue
         for T in _divisors(dst_w):
@@ -199,14 +205,15 @@ def _plan(pipeline) -> Optional[dict]:
                 + lanes * (s_h + 1) * tn * 2             # per-strip G (bf16)
                 + s_v * R * lanes * 4                    # V_all transient
                 + s_v * R * k_rows * 2                   # G_v transient
-                + 4 * R * l_pad * 4                      # Vc + Dekker parts
+                + 5 * R * l_pad * 4                      # VT/VB + roll copies
                 + 2 * out_ch * R * T * 4                 # output blocks
             )
             if vmem > _VMEM_BUDGET:
                 continue
             v_flops = 2 * s_v * R * k_rows * lanes
-            h_flops = 3 * 2 * R * lanes * (s_h + 1) * tn
-            vpu = s_v * R * lanes * 4 + R * lanes * 30 + s_h * R * tn * 4
+            # H dot: exact-bf16 u8 candidates, [VT; VB] stacked (2R rows)
+            h_flops = 2 * 2 * R * lanes * (s_h + 1) * tn
+            vpu = s_v * R * lanes * 6 + R * lanes * 30 + s_h * R * tn * 8
             dma_b = k_rows * lanes
             # ns/tile, calibrated on the v5e (R,T) sweep of the 10-degree
             # 1080p rotation (280-410us measured): ~300ns effective step
@@ -444,7 +451,12 @@ def _emit(pipeline, plan: dict, *, interpret: bool):
                 precision=_DEFAULT, preferred_element_type=jnp.float32,
             )  # (S_v*R, L): candidate source rows, exact u8 values
 
-            # ---- consumer-unique select-lerp on the (r, lane) grid ----
+            # ---- consumer-unique candidate selection on the (r, lane)
+            # grid: UNWEIGHTED top/bottom source rows per lane. VT[r, l] =
+            # win[iy(r, X*(l)), l] and VB its +1 row — exact u8 values, so
+            # the H dot below runs as ONE plain bf16 one-hot dot (no Dekker
+            # split; u8 ints are bf16-exact). All lerping moves to the
+            # output grid where fx/fy/validity are per-element anyway.
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
             abs_lane = wl0_t + lane
             p_px = abs_lane // nch
@@ -472,50 +484,60 @@ def _emit(pipeline, plan: dict, *, interpret: bool):
             xstar = jnp.clip(xstar, x0, x0 + T - 1)
             syl = (kmul(D, xstar.astype(jnp.float32))
                    + (kmul(E, rf) + F))  # (R, L)
-            iyf = jnp.floor(syl)
-            fy = syl - iyf
-            iyi = iyf.astype(jnp.int32)
-            vt = ((iyi >= 0) & (iyi < src_h)).astype(jnp.float32)
-            vb = ((iyi + 1 >= 0) & (iyi + 1 < src_h)).astype(jnp.float32)
+            iyi = jnp.floor(syl).astype(jnp.int32)
             kbase_r = jnp.floor(mindx + (kmul(E, rf) + F)).astype(jnp.int32)
             sel = iyi - kbase_r  # (R, L) in [0, S_v-2] by sizing
-            wt = (1.0 - fy) * vt
-            wb = fy * vb
-            acc = jnp.zeros((R, L), jnp.float32)
-            for sc in range(S_v):
-                w_s = jnp.where(sel == sc, wt, 0.0)
-                if sc >= 1:
-                    w_s = w_s + jnp.where(sel == sc - 1, wb, 0.0)
-                acc = acc + w_s * v_all[sc * R : (sc + 1) * R]
-            # out-of-source vertical taps contribute the border (exact
-            # CONDITIONAL semantics: border rides the missing weight)
-            border_lane = jnp.zeros((1, L), jnp.float32)
-            for ci in range(nch):
-                border_lane = border_lane + jnp.where(
-                    abs_lane % nch == ci, fp_ref[6 + ci], 0.0
-                )
-            vc = acc + border_lane * (1.0 - (wt + wb))
+            # telescoping prefix-mask selection: VT = V[sel], VB = V[sel+1]
+            # in one S_v sweep sharing the (sel >= sc) masks; out-of-range
+            # sel (clipped consumer-less lanes) telescopes to an end value —
+            # garbage lanes are never gathered as valid taps
+            # VT = V[0] + sum_{sc>=1} [sel>=sc]*(V[sc]-V[sc-1])
+            # VB = V[1] + sum_{sc>=2} [sel>=sc-1]*(V[sc]-V[sc-1])
+            # (sel <= S_v-2 by sizing, so VB never needs a V[S_v] term)
+            vt_rows = v_all[0:R]
+            vb_rows = v_all[R : 2 * R]
+            for sc in range(1, S_v):
+                d_sc = (v_all[sc * R : (sc + 1) * R]
+                        - v_all[(sc - 1) * R : sc * R])
+                vt_rows = vt_rows + jnp.where(sel >= sc, d_sc, 0.0)
+                if sc >= 2:
+                    vb_rows = vb_rows + jnp.where(sel >= sc - 1, d_sc, 0.0)
 
-            # ---- lane re-base: ONE traced roll (pow2-padded f32) ----
-            if L_pad > L:
-                vc = jnp.concatenate(
-                    [vc, jnp.zeros((R, L_pad - L), jnp.float32)], axis=1
-                )
-            vc = pltpu.roll(vc, -shift0_t, 1)[:, :L]
+            # ---- per-SUB-BAND lane re-base (8-row blocks): each sub-band
+            # re-anchors to its own hbase_i so the H candidate span only
+            # covers 8 rows of b-drift (S_h = ceil(|b|*7)+3 at any R) ----
+            def _rebase(vmat):
+                if L_pad > L:
+                    vmat = jnp.concatenate(
+                        [vmat, jnp.zeros((R, L_pad - L), jnp.float32)], axis=1
+                    )
+                blocks = []
+                for i in range(R // 8):
+                    ri0 = (r0 + i * 8).astype(jnp.float32)
+                    m1_i = jnp.minimum(kmul(B, ri0), kmul(B, ri0 + 7.0)) + C
+                    hb_i = jnp.floor(m1_i).astype(jnp.int32)
+                    sh_i = shift0_t + (hb_i - hbase_t) * nch
+                    blocks.append(
+                        pltpu.roll(vmat[i * 8 : (i + 1) * 8], -sh_i, 1)[:, :L]
+                    )
+                return blocks[0] if len(blocks) == 1 else jnp.concatenate(
+                    blocks, axis=0)
 
-            # ---- Dekker-3 split + ONE M-stacked one-hot H dot ----
-            hi = vc.astype(jnp.bfloat16)
-            res1 = vc - hi.astype(jnp.float32)
-            lo = res1.astype(jnp.bfloat16)
-            lo2 = (res1 - lo.astype(jnp.float32)).astype(jnp.bfloat16)
+            vt_rows = _rebase(vt_rows)
+            vb_rows = _rebase(vb_rows)
+
+            # ---- ONE exact-bf16 one-hot H dot: [VT; VB] stacked ----
             dn = (((1,), (0,)), ((), ()))
-            d3 = jax.lax.dot_general(
-                jnp.concatenate([hi, lo, lo2], axis=0), gmat[...], dn,
+            d2 = jax.lax.dot_general(
+                jnp.concatenate([vt_rows, vb_rows], axis=0).astype(
+                    jnp.bfloat16),
+                gmat[...], dn,
                 precision=_DEFAULT, preferred_element_type=jnp.float32,
-            )  # (3R, (S_h+1)*tn)
-            d_all = d3[:R] + d3[R : 2 * R] + d3[2 * R :]
+            )  # (2R, (S_h+1)*tn), exact u8 tap values
+            d_t, d_b = d2[:R], d2[R : 2 * R]
 
-            # ---- horizontal select-lerp on the (r, X, channel) grid ----
+            # ---- full 4-tap lerp on the (r, X, channel) grid (the same
+            # tap-replace -> h-lerp -> v-lerp shape as the XLA sampler) ----
             col = jax.lax.broadcasted_iota(jnp.int32, (1, tn), 1)
             cch = col // T
             xr = col % T
@@ -526,24 +548,43 @@ def _emit(pipeline, plan: dict, *, interpret: bool):
             ixi = ixf2.astype(jnp.int32)
             vx0 = ((ixi >= 0) & (ixi < src_w)).astype(jnp.float32)
             vx1 = ((ixi + 1 >= 0) & (ixi + 1 < src_w)).astype(jnp.float32)
+            sy_o = kmul(D, xf) + (kmul(E, rf) + F)  # == syl at the consumer
+            fy = sy_o - jnp.floor(sy_o)
+            iy_o = jnp.floor(sy_o).astype(jnp.int32)
+            vyt = ((iy_o >= 0) & (iy_o < src_h)).astype(jnp.float32)
+            vyb = ((iy_o + 1 >= 0) & (iy_o + 1 < src_h)).astype(jnp.float32)
             stair = jnp.floor(kmul(A, xf)).astype(jnp.int32)
-            hsel = ixi - stair - hbase_t  # (R, tn) in [0, S_h-2] by sizing
-            wa = (1.0 - fx) * vx0
-            wbx = fx * vx1
-            out_flat = jnp.zeros((R, tn), jnp.float32)
+            riota = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+            ri0_col = (r0 + (riota // 8) * 8).astype(jnp.float32)
+            m1_col = jnp.minimum(kmul(B, ri0_col),
+                                 kmul(B, ri0_col + 7.0)) + C
+            hbase_col = jnp.floor(m1_col).astype(jnp.int32)  # (R, 1)
+            hsel = ixi - stair - hbase_col  # in [0, S_h-2] by sizing
+            v00 = jnp.zeros((R, tn), jnp.float32)
+            v01 = jnp.zeros((R, tn), jnp.float32)
+            v10 = jnp.zeros((R, tn), jnp.float32)
+            v11 = jnp.zeros((R, tn), jnp.float32)
             for h in range(S_h):
                 mm = hsel == h
-                out_flat = (
-                    out_flat
-                    + jnp.where(mm, wa, 0.0) * d_all[:, h * tn : (h + 1) * tn]
-                    + jnp.where(mm, wbx, 0.0)
-                    * d_all[:, (h + 1) * tn : (h + 2) * tn]
-                )
+                v00 = v00 + jnp.where(mm, d_t[:, h * tn : (h + 1) * tn], 0.0)
+                v01 = v01 + jnp.where(
+                    mm, d_t[:, (h + 1) * tn : (h + 2) * tn], 0.0)
+                v10 = v10 + jnp.where(mm, d_b[:, h * tn : (h + 1) * tn], 0.0)
+                v11 = v11 + jnp.where(
+                    mm, d_b[:, (h + 1) * tn : (h + 2) * tn], 0.0)
             border_col = jnp.zeros((1, tn), jnp.float32)
             for ci in range(nch):
                 border_col = border_col + jnp.where(
                     cch == ci, fp_ref[6 + ci], 0.0)
-            out_flat = out_flat + border_col * (1.0 - (wa + wbx))
+            m00 = vx0 * vyt
+            m01 = vx1 * vyt
+            m10 = vx0 * vyb
+            m11 = vx1 * vyb
+            h0 = ((m00 * v00 + (1.0 - m00) * border_col) * (1.0 - fx)
+                  + (m01 * v01 + (1.0 - m01) * border_col) * fx)
+            h1 = ((m10 * v10 + (1.0 - m10) * border_col) * (1.0 - fx)
+                  + (m11 * v11 + (1.0 - m11) * border_col) * fx)
+            out_flat = h0 * (1.0 - fy) + h1 * fy
 
             planes = [out_flat[:, ci * T : (ci + 1) * T] for ci in range(nch)]
             planes = _apply_chain_planar(chain_k, planes)

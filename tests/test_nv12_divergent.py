@@ -317,3 +317,56 @@ def test_divergent_nv12_unaligned_falls_back(rng):
     flat = np.zeros((2, 64, 96, 3), np.float32)
     seq2 = cvgs.build_operation_sequence(cvgs.image(flat), cvgs.write_tensor())
     assert not pd.supports([seq1, seq2], [1, 2])
+
+
+def test_divergent_crop_resize_sequence_kernel(rng):
+    """Divergent batch whose seq1 READ is the FLAGSHIP shape — per-plane
+    CROPS of one shared frame, bilinear-resized (different rects AND
+    different chains per plane: the reference's
+    ``test_circularbatchread_x_write3D.cu:147-156`` routing). One kernel,
+    runtime rect positions via scalar prefetch (VERDICT r3 top-next #4)."""
+    from cvgpuspeedup_tpu.exec import pallas_divergent as pd
+
+    frame = rng.integers(0, 256, (296, 384, 3)).astype(np.uint8)
+    n = 8
+    rects = np.array([[5 * z, 3 * z, 60, 120] for z in range(n)], np.int32)
+    seq1 = cvgs.build_operation_sequence(
+        cvgs.resize_batch(frame, rects=rects, dsize=cvgs.Size(64, 128)),
+        cvgs.convert_to(np.float32, alpha=0.5), cvgs.subtract((1.0, 2.0, 3.0)),
+        cvgs.write_tensor(),
+    )
+    flat = rng.integers(0, 200, (n, 128, 64, 3)).astype(np.float32)
+    seq2 = cvgs.build_operation_sequence(
+        cvgs.image(flat), cvgs.multiply(2.0), cvgs.write_tensor())
+    ids = [1 if z % 3 else 2 for z in range(n)]
+    assert pd.supports([seq1, seq2], ids)
+    p = np.asarray(pd.try_lower([seq1, seq2], ids, interpret=True))
+    x = np.asarray(cvgs.launch_divergent_batch(
+        ids, seq1, seq2, backend=cvgs.ParBackend.XLA))
+    check_float(p, x, msg="divergent crop-resize kernel vs xla")
+
+
+def test_divergent_crop_resize_rect_jitter_no_recompile(rng):
+    """Rect positions are runtime scalar-prefetch values: shifting them
+    reuses the compiled divergent program."""
+    from cvgpuspeedup_tpu.exec import executor
+
+    frame = rng.integers(0, 256, (296, 384, 3)).astype(np.uint8)
+    n = 4
+    flat = rng.integers(0, 200, (n, 64, 32, 3)).astype(np.float32)
+    executor.clear_cache()
+    outs = []
+    for shift in range(2):
+        rects = np.array([[5 * z + shift, 3 * z, 40, 56] for z in range(n)],
+                         np.int32)
+        seq1 = cvgs.build_operation_sequence(
+            cvgs.resize_batch(frame, rects=rects, dsize=cvgs.Size(32, 64)),
+            cvgs.write_tensor(),
+        )
+        seq2 = cvgs.build_operation_sequence(cvgs.image(flat),
+                                             cvgs.write_tensor())
+        outs.append(np.asarray(cvgs.launch_divergent_batch(
+            [1, 2, 1, 2], seq1, seq2,
+            backend=cvgs.ParBackend.PALLAS_INTERPRET)))
+    assert len(executor._CACHE) == 1
+    assert not np.allclose(outs[0], outs[1])
