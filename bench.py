@@ -325,8 +325,12 @@ def main():
     # HBM roofline: bytes touched per batch (per-plane DMA windows + planar
     # f32 outputs) at v5e ~819 GB/s, plus the memory floor MEASURED IN THIS
     # RUN (same grid/DMA/write skeleton, compute ablated) — grid-step and
-    # DMA-issue overheads the analytic number ignores.
-    window_bytes = BATCH * 128 * 768
+    # DMA-issue overheads the analytic number ignores. Window bytes come
+    # from the kernel's OWN DMA geometry (win_h x lanes; a 60x120 crop is a
+    # 128x384 window — r3 hardcoded 768 lanes and published a 33%-inflated
+    # "analytic floor").
+    geo = pallas_backend._window_geometry(pipeline.read)
+    window_bytes = BATCH * geo["win_h"] * geo["lanes"]
     out_bytes = BATCH * 3 * 128 * 64 * 4
     roofline_s = (window_bytes + out_bytes) / 819e9
     pct_of_analytic = roofline_s / t_fused * 100

@@ -418,6 +418,7 @@ def warp(
             nch = int(source.shape[-1])
     from .exec.pallas_warp import scale_buckets
     from .exec.pallas_warp_general import general_buckets
+    from .exec.pallas_warp_universal import universal_buckets
     from .ops.warp import decompose_inverse_map
 
     terms = decompose_inverse_map(inv, dsize)
@@ -427,6 +428,9 @@ def warp(
         if warp_type == WarpType.AFFINE and sep is None
         else None
     )
+    # universal kernel buckets: the fallback Pallas class for everything the
+    # separable/consumer-unique kernels reject (upscales, flips, perspective)
+    uni = universal_buckets(inv, dsize) if sep is None and gen is None else None
     return WarpRead(
         source=src,
         coeffs=jnp.asarray(np.asarray(inv, np.float32).ravel()),
@@ -435,6 +439,7 @@ def warp(
         warp_type=warp_type,
         sep_buckets=sep,
         gen_buckets=gen,
+        uni_buckets=uni,
         **terms,
     )
 

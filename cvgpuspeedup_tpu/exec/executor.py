@@ -151,7 +151,7 @@ def clear_cache() -> None:
 def _lower_with_backend(pipeline: Pipeline, backend: ParBackend):
     if backend in (ParBackend.PALLAS, ParBackend.PALLAS_INTERPRET):
         from . import (pallas_backend, pallas_frame, pallas_warp,
-                       pallas_warp_general)
+                       pallas_warp_general, pallas_warp_universal)
 
         interpret = backend == ParBackend.PALLAS_INTERPRET
         lowered = pallas_backend.try_lower(pipeline, interpret=interpret)
@@ -161,6 +161,8 @@ def _lower_with_backend(pipeline: Pipeline, backend: ParBackend):
             lowered = pallas_warp.try_lower(pipeline, interpret=interpret)
         if lowered is None:
             lowered = pallas_warp_general.try_lower(pipeline, interpret=interpret)
+        if lowered is None:
+            lowered = pallas_warp_universal.try_lower(pipeline, interpret=interpret)
         if lowered is not None:
             return lowered
         # fall through: pattern not supported by any Pallas emitter
@@ -176,7 +178,7 @@ def _resolve_auto(pipeline: Pipeline, platform: Optional[str] = None) -> ParBack
     ``platform`` overrides ``jax.default_backend()`` (used by the sharded
     executor and by tests that assert the gate's decisions off-TPU)."""
     from . import (pallas_backend, pallas_frame, pallas_warp,
-                   pallas_warp_general)
+                   pallas_warp_general, pallas_warp_universal)
 
     backend = platform if platform is not None else jax.default_backend()
     if backend == "tpu" and (
@@ -185,6 +187,8 @@ def _resolve_auto(pipeline: Pipeline, platform: Optional[str] = None) -> ParBack
         or (pallas_warp.supports(pipeline) and pallas_warp.profitable(pipeline))
         or (pallas_warp_general.supports(pipeline)
             and pallas_warp_general.profitable(pipeline))
+        or (pallas_warp_universal.supports(pipeline)
+            and pallas_warp_universal.profitable(pipeline))
     ):
         return ParBackend.PALLAS
     return ParBackend.XLA
@@ -195,7 +199,7 @@ def _emitter_name(pipeline: Pipeline, backend: ParBackend) -> str:
     order, evaluated without tracing."""
     if backend in (ParBackend.PALLAS, ParBackend.PALLAS_INTERPRET):
         from . import (pallas_backend, pallas_frame, pallas_warp,
-                       pallas_warp_general)
+                       pallas_warp_general, pallas_warp_universal)
 
         suffix = ":interpret" if backend == ParBackend.PALLAS_INTERPRET else ""
         if pallas_backend.supports(pipeline):
@@ -206,6 +210,8 @@ def _emitter_name(pipeline: Pipeline, backend: ParBackend) -> str:
             return "pallas:warp" + suffix
         if pallas_warp_general.supports(pipeline):
             return "pallas:warp_general" + suffix
+        if pallas_warp_universal.supports(pipeline):
+            return "pallas:warp_universal" + suffix
     return "xla"
 
 

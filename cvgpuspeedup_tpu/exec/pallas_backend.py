@@ -72,7 +72,14 @@ _DEFAULT = jax.lax.Precision.DEFAULT
 #: predates the window halving — the bigger group now fits VMEM comfortably
 #: and gives Mosaic more independent chains to interleave)
 _GROUP_CANDIDATES = (10, 5, 4, 3, 2)
-_RING_SLOTS = 2
+#: 3 slots: the baked exact-bf16 schedule SOFTWARE-PIPELINES stage1 (massage
+#: + V dot, VPU-heavy) of step s+1 against the group H dot (MXU) of step s,
+#: so step s+1's windows must be resident one step earlier than the plain
+#: double-buffered schedule needs
+_RING_SLOTS = 3
+#: schedule selector (True = software-pipelined baked schedule). Both
+#: schedules compute identical values — this is a benchmark A/B knob only.
+_PIPELINE_SCHEDULE = True
 _RING_BUDGET = 3 * 1024 * 1024  # window-ring VMEM cap (bounds group_p)
 #: benchmark-only kernel ablation (None = real kernel): "floor" = DMA +
 #: trivial write only; "nomassage" = skip the rotate; "nochain" = skip the
@@ -354,6 +361,7 @@ def supports(pipeline) -> bool:
         + h_o * nch * w_o * 4               # vals
         + geo["core_w"] * nch * nch * w_o * 4  # wh
         + n_dy_est * h_o * geo["win_h"] * 4  # wv (per-dy variants, window rows)
+        + 2 * 10 * h_o * geo["core_w"] * nch * 4  # revolving t scratch (pipe)
     )
     window_bytes = 2 * geo["win_h"] * geo["lanes"] * src.dtype.itemsize
     core_bytes = 2 * geo["core_h"] * geo["core_w"] * nch * 4
@@ -686,16 +694,27 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
             for _ in range(out_ch)
         )
 
+    # the baked exact-bf16 schedule software-pipelines stage1 across grid
+    # steps through a revolving t scratch (see the kernel body); static
+    # decision so the scratch list and the kernel branch agree.
+    # _PIPELINE_SCHEDULE is a bench A/B knob (both schedules are exact).
+    use_pipe = (_PIPELINE_SCHEDULE and exact_bf16
+                and weight_consts is not None and steps > 1)
+
     def kernel(rects_ref, used_ref, fp_ref, src_ref, *rest):
         if weight_consts is not None:
             wv_ref, wh_ref = rest[0], rest[1]
             rest = rest[2:]
         if isinstance(out_shape, tuple):
             out_refs = rest[: len(out_shape)]
-            window, sem = rest[len(out_shape) :]
+            rest = rest[len(out_shape) :]
         else:
             out_refs = rest[:1]
-            window, sem = rest[1:]
+            rest = rest[1:]
+        if use_pipe:
+            window, t_buf_a, t_buf_b, sem = rest
+        else:
+            window, sem = rest
 
         def rect_of(i, k):
             return rects_ref[i, k]
@@ -991,56 +1010,132 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
                     ((s + n_slots - 1) % n_slots) * group_p + j,
                 ).start()
 
-        # ALL the group's waits come before ANY body: a semaphore wait is a
-        # scheduling barrier, so interleaving wait->body per plane would
-        # re-serialize the independent chains (measured 38 vs 23 us/batch)
-        for j in range(group_p):
-            plane_dma(s * group_p + j, (s % n_slots) * group_p + j).wait()
-        if exact_bf16 and weight_consts is not None:
-            # baked exact schedule: per-plane vertical dots, then ONE
-            # group-batched horizontal dot (M = group_p*h_out)
-            metas = [
-                plane_stage1(s * group_p + j, (s % n_slots) * group_p + j, j)
-                for j in range(group_p)
-            ]
-            if metas[0] is not None:  # not the floor ablation
-                # ONE group-level Dekker split: t == hi + lo exactly (hi an
-                # 8-bit-significand head, lo a <=2^8-bounded multiple of
-                # 1/den_y — both bf16-exact); splitting the concatenated
-                # group block keeps the VPU in a few big ops instead of
-                # 3*group_p small ones
-                t_all = (
-                    metas[0]["t"] if group_p == 1
-                    else jnp.concatenate([m["t"] for m in metas], axis=0)
-                )
-                t_hi = t_all.astype(jnp.bfloat16)
+        def group_h_finish(metas):
+            # ONE group-level Dekker split: t == hi + lo exactly (hi an
+            # 8-bit-significand head, lo a <=2^8-bounded multiple of
+            # 1/den_y — both bf16-exact); splitting the concatenated
+            # group block keeps the VPU in a few big ops instead of
+            # 3*group_p small ones
+            t_all = (
+                metas[0]["t"] if group_p == 1
+                else jnp.concatenate([m["t"] for m in metas], axis=0)
+            )
+            t_hi = t_all.astype(jnp.bfloat16)
+            if _ABLATION == "nodekker":
+                lhs_all = t_hi
+            else:
+                t_lo = (t_all - t_hi.astype(jnp.float32)).astype(
+                    jnp.bfloat16)
+                lhs_all = jnp.concatenate([t_hi, t_lo], axis=1)
+            if _ABLATION == "noh":  # bisection: skip the group H dot
+                vals_grp = lhs_all[:, : nch * w_out].astype(jnp.float32)
+            else:
+                wh_all = wh_ref[...]  # bf16, K-duplicated [wh; wh]
                 if _ABLATION == "nodekker":
-                    lhs_all = t_hi
-                else:
-                    t_lo = (t_all - t_hi.astype(jnp.float32)).astype(
-                        jnp.bfloat16)
-                    lhs_all = jnp.concatenate([t_hi, t_lo], axis=1)
-                if _ABLATION == "noh":  # bisection: skip the group H dot
-                    vals_grp = lhs_all[:, : nch * w_out].astype(jnp.float32)
-                else:
-                    wh_all = wh_ref[...]  # bf16, K-duplicated [wh; wh]
-                    if _ABLATION == "nodekker":
-                        wh_all = wh_all[: core_w * nch]
-                    vals_grp = jax.lax.dot_general(
-                        lhs_all, wh_all, (((1,), (0,)), ((), ())),
-                        precision=_DEFAULT,
-                        preferred_element_type=jnp.float32,
-                    )  # (group_p*h_out, C*W_out), phase-stacked rows
+                    wh_all = wh_all[: core_w * nch]
+                vals_grp = jax.lax.dot_general(
+                    lhs_all, wh_all, (((1,), (0,)), ((), ())),
+                    precision=_DEFAULT,
+                    preferred_element_type=jnp.float32,
+                )  # (group_p*h_out, C*W_out), phase-stacked rows
+            hf = h_out // f_pack
+            for j, m in enumerate(metas):
+                vals_all = vals_grp[j * h_out : (j + 1) * h_out]
+                vals_k = [vals_all[k * hf : (k + 1) * hf]
+                          for k in range(f_pack)]
+                _finish_plane(m["z"], j, vals_k, m["row_ins"],
+                              m["new_w"], m["ox"], chain_k)
+
+        if use_pipe and _ABLATION != "floor":
+            # SOFTWARE-PIPELINED baked schedule: stage1 of step s+1 (massage
+            # rolls + per-plane V dots — VPU-heavy, ~3 us/batch exposed in
+            # the round-4 bisection) runs in the SAME grid step as the group
+            # H dot + writes of step s (MXU-heavy, ~4 us/batch), through a
+            # revolving t scratch. The two halves have no data dependence,
+            # so Mosaic interleaves VPU and MXU instead of serializing the
+            # massage -> V -> H chain (measured 15.1 -> see STATUS).
+            def stage1_to_buf(st, j, buf):
+                m = plane_stage1(
+                    st * group_p + j, (st % n_slots) * group_p + j, j
+                )
+                buf[j * h_out : (j + 1) * h_out] = m["t"]
+
+            def metas_from_buf(st, buf):
+                new_w, new_h, ox, oy = weight_consts[2]
                 hf = h_out // f_pack
-                for j, m in enumerate(metas):
-                    vals_all = vals_grp[j * h_out : (j + 1) * h_out]
-                    vals_k = [vals_all[k * hf : (k + 1) * hf]
-                              for k in range(f_pack)]
-                    _finish_plane(m["z"], j, vals_k, m["row_ins"],
-                                  m["new_w"], m["ox"], chain_k)
+                row_ins = []
+                for k in range(f_pack):
+                    row = (jax.lax.broadcasted_iota(jnp.int32, (hf, 1), 0)
+                           * f_pack + k)
+                    row_ins.append(
+                        ((row - oy >= 0) & (row - oy < new_h)).astype(
+                            jnp.float32)
+                    )
+                t_all = buf[...]
+                return [
+                    dict(z=st * group_p + j,
+                         t=t_all[j * h_out : (j + 1) * h_out],
+                         row_ins=row_ins, new_w=new_w, ox=ox)
+                    for j in range(group_p)
+                ]
+
+            # prologue: land step 0's windows and stage its V pass
+            @pl.when(s == 0)
+            def _():
+                for j in range(group_p):
+                    plane_dma(j, j).wait()
+                for j in range(group_p):
+                    stage1_to_buf(0, j, t_buf_a)
+
+            # hoisted waits for step s+1 (its DMAs were issued two steps
+            # ago through the 3-slot ring, so these are cheap)
+            @pl.when(s + 1 < steps)
+            def _():
+                for j in range(group_p):
+                    plane_dma(
+                        (s + 1) * group_p + j,
+                        ((s + 1) % n_slots) * group_p + j,
+                    ).wait()
+
+            # STATIC buffer roles per parity (dynamic t_buf[s % 2] indexing
+            # would defeat Mosaic's aliasing analysis and serialize the
+            # stage1 writes against the H-dot reads)
+            def step_body(cur, nxt):
+                group_h_finish(metas_from_buf(s, cur))
+
+                @pl.when(s + 1 < steps)
+                def _():
+                    for j in range(group_p):
+                        stage1_to_buf(s + 1, j, nxt)
+
+            @pl.when(s % 2 == 0)
+            def _():
+                step_body(t_buf_a, t_buf_b)
+
+            @pl.when(s % 2 == 1)
+            def _():
+                step_body(t_buf_b, t_buf_a)
         else:
+            # ALL the group's waits come before ANY body: a semaphore wait
+            # is a scheduling barrier, so interleaving wait->body per plane
+            # would re-serialize the independent chains (measured 38 vs 23
+            # us/batch)
             for j in range(group_p):
-                plane_body(s * group_p + j, (s % n_slots) * group_p + j, j)
+                plane_dma(s * group_p + j, (s % n_slots) * group_p + j).wait()
+            if exact_bf16 and weight_consts is not None:
+                # baked exact schedule: per-plane vertical dots, then ONE
+                # group-batched horizontal dot (M = group_p*h_out)
+                metas = [
+                    plane_stage1(
+                        s * group_p + j, (s % n_slots) * group_p + j, j
+                    )
+                    for j in range(group_p)
+                ]
+                if metas[0] is not None:  # not the floor ablation
+                    group_h_finish(metas)
+            else:
+                for j in range(group_p):
+                    plane_body(s * group_p + j, (s % n_slots) * group_p + j, j)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
     extra_inputs = []
@@ -1061,6 +1156,15 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
         out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((_RING_SLOTS * group_p, win_h, lanes_alloc), src.dtype),
+        ]
+        + (
+            # two t scratches for the software-pipelined baked schedule
+            # (static refs — see the parity branches in the kernel)
+            [pltpu.VMEM((group_p * h_out, core_w * nch), jnp.float32),
+             pltpu.VMEM((group_p * h_out, core_w * nch), jnp.float32)]
+            if use_pipe else []
+        )
+        + [
             pltpu.SemaphoreType.DMA((_RING_SLOTS * group_p,)),
         ],
     )

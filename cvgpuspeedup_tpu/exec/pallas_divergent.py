@@ -419,6 +419,7 @@ def _emit(plane_ids, infos, *, interpret: bool):
         fparams = jnp.zeros((1,), jnp.float32)
 
     srcs = []
+    src_lanes_real: List[int] = []
     for info in infos:
         sh, sw, sc = info["sshape"]
         if info["kind"] == "crop_resize":
@@ -430,12 +431,20 @@ def _emit(plane_ids, infos, *, interpret: bool):
                 src if src.ndim == 2
                 else jnp.reshape(src, (geo["src_h"], geo["src_lanes"]))
             )
+            src_lanes_real.append(geo["src_lanes"])
             continue
-        srcs.append(
-            info["src"] if info["packed"]
-            else jnp.reshape(info["src"],
-                             (int(info["src"].shape[0]), sh, sw * sc))
-        )
+        s3 = (info["src"] if info["packed"]
+              else jnp.reshape(info["src"],
+                               (int(info["src"].shape[0]), sh, sw * sc)))
+        # Mosaic rejects whole-plane HBM DMA slices whose lane count is not
+        # a 128 multiple (the physical buffer is tile-padded; the slice must
+        # match the tiling) — chip-verified, interpret mode accepts it. Pad
+        # the lane axis and value-slice back after the window load.
+        pad = (-sw * sc) % 128
+        if pad:
+            s3 = jnp.pad(s3, ((0, 0), (0, 0), (0, pad)))
+        srcs.append(s3)
+        src_lanes_real.append(sw * sc)
 
     # baked whole-plane interpolation matrices for resize groups (static
     # geometry: exact rational axis_lerp weights; the H matrix maps
@@ -649,7 +658,7 @@ def _emit(plane_ids, infos, *, interpret: bool):
                 pltpu.make_async_copy(
                     src_refs[gi].at[0], windows[gi].at[z % 2], sem.at[gi, z % 2]
                 ).wait()
-                x = windows[gi][z % 2]
+                x = windows[gi][z % 2][:, : src_lanes_real[gi]]
                 if dt.is_integer(x.dtype) and x.dtype.itemsize == 1:
                     x = x.astype(jnp.int32)
                 x = x.astype(jnp.float32)
@@ -697,7 +706,9 @@ def _emit(plane_ids, infos, *, interpret: bool):
         out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM(
-                (2, info["sshape"][0], info["sshape"][1] * info["sshape"][2]),
+                (2, info["sshape"][0],
+                 info["lanes_alloc"] if info["kind"] == "crop_resize"
+                 else -(-(info["sshape"][1] * info["sshape"][2]) // 128) * 128),
                 jnp.dtype(info["src"].dtype),
             )
             for info in infos

@@ -285,46 +285,92 @@ def _emit(pipeline, plan: dict, *, interpret: bool):
     cf = jnp.asarray(read.coeffs, jnp.float32)  # [a, b, c, d, e, f]
 
     # ---- per-tile prepass (tiny (n_tiles,) vectors; f32 ops matching the
-    # in-kernel formulas bit-for-bit where consistency matters) ----
-    r0v = (jnp.arange(n_bands, dtype=jnp.int32) * R)
-    x0v = (jnp.arange(n_strips, dtype=jnp.int32) * T)
-    r0f, x0f = r0v.astype(jnp.float32), x0v.astype(jnp.float32)
-    r1f, x1f = r0f + np.float32(R - 1), x0f + np.float32(T - 1)
-    a, b_, c0, d_, e, f0 = (cf[i] for i in range(6))
-    # vertical window start: corner extremes of sy (exact for affine)
-    zero_p = jax.lax.optimization_barrier(jnp.float32(0.0))
-    rmul = lambda x, y: _rmul(x, y, zero_p)
-    sy_rows = jnp.stack([rmul(e, r0f) + f0, rmul(e, r1f) + f0])  # (2, n_bands)
-    sy_cols = jnp.stack([rmul(d_, x0f), rmul(d_, x1f)])          # (2, n_strips)
-    sy_min = (jnp.min(sy_cols, 0)[:, None] + jnp.min(sy_rows, 0)[None, :])
-    wy0 = jnp.clip(
-        ((jnp.floor(sy_min).astype(jnp.int32) - 1) // 8) * 8, 0, src_h - K
-    )  # (n_strips, n_bands)
-    # horizontal anchor: stair0 + hbase (see module docstring, step 5)
-    m1 = jnp.minimum(rmul(b_, r0f), rmul(b_, r1f)) + c0        # (n_bands,)
-    hbase = jnp.floor(m1).astype(jnp.int32)
-    stair0 = jnp.floor(rmul(a, x0f)).astype(jnp.int32)         # (n_strips,)
-    anchor_px = stair0[:, None] + hbase[None, :]               # raw, unclamped
-    wl0_lanes = jnp.clip(
-        ((jnp.clip(anchor_px, 0, src_w - l_px_cap) * nch) // 128) * 128,
-        0, src_lanes - L,
-    )
-    shift0 = anchor_px * nch - wl0_lanes
-    tile_params = jnp.stack(
-        [wy0, wl0_lanes, shift0,
-         jnp.broadcast_to(hbase[None, :], (n_strips, n_bands))], axis=-1,
-    ).reshape(n_tiles, 4)
+    # in-kernel formulas bit-for-bit where consistency matters). When the
+    # matrix leaves are CONCRETE (the execute_operations path — users
+    # changing the matrix per call), the prepass runs in NUMPY: its ~30
+    # tiny jnp ops would otherwise dominate the launch (the kernel itself
+    # is sub-millisecond; a tiny XLA op is tens of us on this rig). numpy
+    # f32 ops are the same IEEE ops with no FMA-contraction hazard, so the
+    # values are bit-identical to the traced form. ----
+    concrete = not isinstance(read.coeffs, jax.core.Tracer)
+    if concrete:
+        npf = np.float32
+        cfn = np.asarray(read.coeffs, np.float32)
+        a, b_, c0, d_, e, f0 = (npf(cfn[i]) for i in range(6))
+        r0f = (np.arange(n_bands, dtype=np.int32) * R).astype(np.float32)
+        x0f = (np.arange(n_strips, dtype=np.int32) * T).astype(np.float32)
+        r1f, x1f = r0f + npf(R - 1), x0f + npf(T - 1)
+        sy_rows = np.stack([e * r0f + f0, e * r1f + f0])
+        sy_cols = np.stack([d_ * x0f, d_ * x1f])
+        sy_min = sy_cols.min(0)[:, None] + sy_rows.min(0)[None, :]
+        wy0 = np.clip(
+            ((np.floor(sy_min).astype(np.int32) - 1) // 8) * 8, 0, src_h - K
+        )
+        m1 = np.minimum(b_ * r0f, b_ * r1f) + c0
+        hbase = np.floor(m1).astype(np.int32)
+        stair0 = np.floor(a * x0f).astype(np.int32)
+        anchor_px = stair0[:, None] + hbase[None, :]
+        wl0_lanes = np.clip(
+            ((np.clip(anchor_px, 0, src_w - l_px_cap) * nch) // 128) * 128,
+            0, src_lanes - L,
+        ).astype(np.int32)
+        shift0 = anchor_px * nch - wl0_lanes
+        tile_params = np.stack(
+            [wy0, wl0_lanes, shift0,
+             np.broadcast_to(hbase[None, :], (n_strips, n_bands))], axis=-1,
+        ).reshape(n_tiles, 4).astype(np.int32)
+    else:
+        r0v = (jnp.arange(n_bands, dtype=jnp.int32) * R)
+        x0v = (jnp.arange(n_strips, dtype=jnp.int32) * T)
+        r0f, x0f = r0v.astype(jnp.float32), x0v.astype(jnp.float32)
+        r1f, x1f = r0f + np.float32(R - 1), x0f + np.float32(T - 1)
+        a, b_, c0, d_, e, f0 = (cf[i] for i in range(6))
+        # vertical window start: corner extremes of sy (exact for affine)
+        zero_p = jax.lax.optimization_barrier(jnp.float32(0.0))
+        rmul = lambda x, y: _rmul(x, y, zero_p)
+        sy_rows = jnp.stack([rmul(e, r0f) + f0, rmul(e, r1f) + f0])
+        sy_cols = jnp.stack([rmul(d_, x0f), rmul(d_, x1f)])
+        sy_min = (jnp.min(sy_cols, 0)[:, None] + jnp.min(sy_rows, 0)[None, :])
+        wy0 = jnp.clip(
+            ((jnp.floor(sy_min).astype(jnp.int32) - 1) // 8) * 8, 0, src_h - K
+        )  # (n_strips, n_bands)
+        # horizontal anchor: stair0 + hbase (see module docstring, step 5)
+        m1 = jnp.minimum(rmul(b_, r0f), rmul(b_, r1f)) + c0    # (n_bands,)
+        hbase = jnp.floor(m1).astype(jnp.int32)
+        stair0 = jnp.floor(rmul(a, x0f)).astype(jnp.int32)     # (n_strips,)
+        anchor_px = stair0[:, None] + hbase[None, :]           # unclamped
+        wl0_lanes = jnp.clip(
+            ((jnp.clip(anchor_px, 0, src_w - l_px_cap) * nch) // 128) * 128,
+            0, src_lanes - L,
+        )
+        shift0 = anchor_px * nch - wl0_lanes
+        tile_params = jnp.stack(
+            [wy0, wl0_lanes, shift0,
+             jnp.broadcast_to(hbase[None, :], (n_strips, n_bands))], axis=-1,
+        ).reshape(n_tiles, 4)
 
     # chain runtime scalars + border ride one packed f32 prefetch array
     chain_leaves, chain_def = jax.tree_util.tree_flatten(tuple(chain))
     leaf_shapes = [jnp.shape(l) for l in chain_leaves]
     leaf_sizes = [1 if shp == () else int(shp[0]) for shp in leaf_shapes]
     leaf_offsets = list(np.cumsum([6 + nch] + leaf_sizes))[:-1]
-    fparams = jnp.concatenate(
-        [cf.reshape(6), jnp.asarray(read.default, jnp.float32).reshape(nch)]
-        + [jnp.asarray(l, jnp.float32).reshape(-1) for l in chain_leaves]
-        + [jnp.zeros((1,), jnp.float32)]  # opaque zero for _rmul
+    all_concrete = concrete and not any(
+        isinstance(l, jax.core.Tracer)
+        for l in (read.default, *chain_leaves)
     )
+    if all_concrete:
+        fparams = np.concatenate(
+            [np.asarray(read.coeffs, np.float32).reshape(6),
+             np.asarray(read.default, np.float32).reshape(nch)]
+            + [np.asarray(l, np.float32).reshape(-1) for l in chain_leaves]
+            + [np.zeros((1,), np.float32)]  # opaque zero for _rmul
+        )
+    else:
+        fparams = jnp.concatenate(
+            [cf.reshape(6), jnp.asarray(read.default, jnp.float32).reshape(nch)]
+            + [jnp.asarray(l, jnp.float32).reshape(-1) for l in chain_leaves]
+            + [jnp.zeros((1,), jnp.float32)]  # opaque zero for _rmul
+        )
     n_fp = 6 + nch + sum(leaf_sizes) + 1
 
     # Mosaic requires output-block minor dims divisible by (8, 128) OR equal

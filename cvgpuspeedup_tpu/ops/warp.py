@@ -138,6 +138,10 @@ class WarpRead(ReadOp):
     # window extents and candidate counts (exec.pallas_warp_general). None
     # means out of that kernel's class (perspective, flips, |a| < 2, ...).
     gen_buckets: object = static_field(default=None)
+    # Quantized DERIVATIVE-BOUND buckets (persp, |dsx/dX|, |dsx/dY|,
+    # |dsy/dX|, |dsy/dY|) for the universal kernel (any affine incl.
+    # upscales/flips, and den>0 perspective) — exec.pallas_warp_universal.
+    uni_buckets: object = static_field(default=None)
 
     def lower(self) -> jnp.ndarray:
         src = self.source.lower().astype(jnp.float32)
