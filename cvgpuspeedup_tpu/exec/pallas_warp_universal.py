@@ -151,10 +151,10 @@ def _plan(pipeline) -> Optional[dict]:
             return None
 
     best = None
-    for R in _divisors(dst_h):
+    for R in (8, 16, 24, 32):
+        # R need not divide dst_h: the last band is RAGGED (output rows
+        # padded to n_bands*R, sliced off after the call)
         if _FORCE_RT is not None and R != _FORCE_RT[0]:
-            continue
-        if R % 8 or R > 32:
             continue
         off = math.ceil(bx_y * (R - 1)) + 1
         s_h = 2 * off + 3
@@ -176,7 +176,7 @@ def _plan(pipeline) -> Optional[dict]:
             l_px = int(math.ceil(bx_x * (T - 1))) + 3 * off + 8
             lanes = -(-l_px * nch // 128) * 128 + 128
             lanes = min(lanes, src_lanes)
-            n_bands, n_strips = dst_h // R, dst_w // T
+            n_bands, n_strips = -(-dst_h // R), dst_w // T
             n_tiles = n_bands * n_strips
             tn = nch * T
             ch_cols = (s_h + 1) * tn
@@ -287,7 +287,9 @@ def _emit(pipeline, plan: dict, *, interpret: bool):
         r0f = (np.arange(n_bands) * R).astype(np.float32)
         x0f = (np.arange(n_strips) * T).astype(np.float32)
         xc = np.stack([x0f, x0f + np.float32(T - 1)])  # (2, n_strips)
-        rc = np.stack([r0f, r0f + np.float32(R - 1)])  # (2, n_bands)
+        # ragged last band: clamp its corner row to the real output extent
+        rc = np.stack([r0f, np.minimum(r0f + np.float32(R - 1),
+                                       np.float32(dst_h - 1))])
         sxs, sys_ = [], []
         for i in range(2):
             sx, sy = _corners(xc[i], rc.reshape(-1), cfn, np)
@@ -300,13 +302,17 @@ def _emit(pipeline, plan: dict, *, interpret: bool):
         anchor = np.floor(sx_min).astype(np.int64) - OFF - 2
         wl0 = np.clip(((anchor * nch) // 128) * 128,
                       0, src_lanes - L).astype(np.int32)
+        # 1-D layout: 2-D SMEM prefetch arrays are row-padded to the lane
+        # grain (512 B/row — 1.5 MB at 3072 tiles, over the 1 MB SMEM cap)
         tile_params = np.stack([wy0, wl0], axis=-1).reshape(
-            n_tiles, 2).astype(np.int32)
+            n_tiles * 2).astype(np.int32)
     else:
         cfj = jnp.asarray(read.coeffs, jnp.float32)
         r0f = (jnp.arange(n_bands) * R).astype(jnp.float32)
         x0f = (jnp.arange(n_strips) * T).astype(jnp.float32)
-        rall = jnp.concatenate([r0f, r0f + np.float32(R - 1)])
+        rall = jnp.concatenate([
+            r0f, jnp.minimum(r0f + np.float32(R - 1),
+                             np.float32(dst_h - 1))])
         sxs, sys_ = [], []
         for xv in (x0f, x0f + np.float32(T - 1)):
             sx, sy = _corners(xv, rall, cfj, jnp)
@@ -318,7 +324,7 @@ def _emit(pipeline, plan: dict, *, interpret: bool):
                        0, src_h - K)
         anchor = jnp.floor(sx_min).astype(jnp.int32) - OFF - 2
         wl0 = jnp.clip(((anchor * nch) // 128) * 128, 0, src_lanes - L)
-        tile_params = jnp.stack([wy0, wl0], axis=-1).reshape(n_tiles, 2)
+        tile_params = jnp.stack([wy0, wl0], axis=-1).reshape(n_tiles * 2)
 
     # chain runtime scalars + border + coeffs ride one f32 prefetch array
     chain_leaves, chain_def = jax.tree_util.tree_flatten(tuple(chain))
@@ -339,7 +345,8 @@ def _emit(pipeline, plan: dict, *, interpret: bool):
     )
     n_fp = n_cf + nch + sum(leaf_sizes) + 1
 
-    out_shape = jax.ShapeDtypeStruct((n_strips, out_ch, dst_h, T), out_dtype)
+    pad_h = n_bands * R  # ragged last band writes into the pad rows
+    out_shape = jax.ShapeDtypeStruct((n_strips, out_ch, pad_h, T), out_dtype)
     out_specs = pl.BlockSpec((1, out_ch, R, T), lambda js, ib, *_: (js, 0, ib, 0))
     n_steps = n_strips * n_bands
 
@@ -383,8 +390,8 @@ def _emit(pipeline, plan: dict, *, interpret: bool):
         def dma(ft, slot):
             return pltpu.make_async_copy(
                 src_ref.at[
-                    pl.ds(pl.multiple_of(tp_ref[ft, 0], 8), K),
-                    pl.ds(pl.multiple_of(tp_ref[ft, 1], 128), L),
+                    pl.ds(pl.multiple_of(tp_ref[ft * 2], 8), K),
+                    pl.ds(pl.multiple_of(tp_ref[ft * 2 + 1], 128), L),
                 ],
                 window.at[slot],
                 sem.at[slot],
@@ -400,8 +407,8 @@ def _emit(pipeline, plan: dict, *, interpret: bool):
 
         dma(st, st % 2).wait()
 
-        wy0_t = tp_ref[st, 0]
-        wl0_t = tp_ref[st, 1]
+        wy0_t = tp_ref[st * 2]
+        wl0_t = tp_ref[st * 2 + 1]
         x0 = js * T
         r0 = ib * R
         r0f = r0.astype(jnp.float32)
@@ -534,8 +541,9 @@ def _emit(pipeline, plan: dict, *, interpret: bool):
         interpret=interpret,
         cost_estimate=cost,
     )(tile_params, fparams, src2d)
-    # (n_strips, out_ch, dst_h, T) -> (out_ch, dst_h, dst_w)
-    full = jnp.transpose(raw, (1, 2, 0, 3)).reshape(out_ch, dst_h, dst_w)
+    # (n_strips, out_ch, pad_h, T) -> (out_ch, dst_h, dst_w)
+    full = jnp.transpose(raw, (1, 2, 0, 3)).reshape(
+        out_ch, pad_h, dst_w)[:, :dst_h]
     if isinstance(write, TensorSplit):
         return full
     return tuple(full[ci] for ci in range(out_ch))

@@ -326,3 +326,22 @@ def test_auto_gate_small_frame_not_profitable(rng):
     )
     assert pallas_frame.supports(pipe_nv12)
     assert pallas_frame.profitable(pipe_nv12)
+
+
+def test_w3_fractional_ratio_regime(rng):
+    """Fractional downscale (3.2:1-style) rides the weight-Dekker-3 bf16
+    first pass (VERDICT r3 #7): u8 values exact in bf16, wh = hi+lo+lo2
+    reproduces the f32 weight to 2^-24 — accuracy >= the f32-HIGHEST dot it
+    replaces, at ~half the MXU cost."""
+    img = _img(rng, h=128, w=1024)  # 1024 -> 320: 3.2:1
+    ops = [
+        cvgs.resize(cvgs.image(img), cvgs.Size(320, 40)),
+        cvgs.multiply(np.float32(1 / 255.0)),
+        cvgs.split_tensor(),
+    ]
+    pipe = cvgs.build_pipeline(*ops)
+    assert pallas_frame.supports(pipe)
+    plan = pallas_frame._plan_of(pipe)
+    assert not plan["exact"] and plan["y"]["w3"]
+    x, p = _both(ops)
+    check_float(p, x, msg="w3 fractional regime vs xla")

@@ -143,3 +143,14 @@ def test_out_of_class_rejects():
                       wt=cvgs.WarpType.PERSPECTIVE)
     assert pipe.read.uni_buckets is None
     assert not pwu.supports(pipe)
+
+
+def test_ragged_band_heights(rng):
+    """dst_h without an 8-multiple divisor (e.g. 540-style heights): the
+    last band is ragged — padded rows are computed and sliced off."""
+    img = rng.integers(0, 256, (96, 384, 3)).astype(np.uint8)
+    m = cv2.getRotationMatrix2D((100, 40), 10.0, 1.2)
+    for h in (60, 44, 52):
+        ops, pipe = _pipe(img, m, cvgs.Size(128, h))
+        assert pwu.supports(pipe), h
+        _parity(ops, pipe, tol=0)
