@@ -638,6 +638,60 @@ def bench_circular_ring_insert(rec):
           file=sys.stderr)
 
 
+def bench_warp_universal(rec):
+    """Universal warp class rows (upscale rotation / flip / perspective —
+    the reference's one-kernel coverage, ``include/cvGPUSpeedup.cuh:285-442``)
+    vs the XLA gather path they previously ran on."""
+    import cv2
+    from cvgpuspeedup_tpu.exec import pallas_warp_universal as pwu
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (1080, 1920, 3)).astype(np.uint8)
+
+    def build(m, dsize, wt=cvgs.WarpType.AFFINE):
+        return cvgs.build_pipeline(
+            cvgs.warp(cvgs.image(img), m, dsize, warp_type=wt),
+            cvgs.convert_to(np.float32, alpha=1 / 255.0),
+            cvgs.split_tensor(),
+        )
+
+    use_pallas = jax.default_backend() == "tpu"
+    m_flip = np.array([[-0.5, 0.0, 960.0], [0.0, 0.5, 2.0]], np.float64)
+    pipe = build(m_flip, cvgs.Size(960, 540))
+    assert pwu.supports(pipe)
+    s_fused, _ = diff_time_pipeline(
+        lambda: pipe, lambda l: getattr(l, "ndim", 0) == 2 and l.size > 10**6,
+        inner=10, backend=(cvgs.ParBackend.PALLAS if use_pallas
+                           else cvgs.ParBackend.XLA))
+    s_base, _ = diff_time_pipeline(
+        lambda: pipe, lambda l: getattr(l, "ndim", 0) == 2 and l.size > 10**6,
+        inner=3, k_large=3, backend=cvgs.ParBackend.XLA)
+    rec.add_case("warp_1080p_hflip_downscale_universal",
+                 TimingStats.from_samples(s_base),
+                 TimingStats.from_samples(s_fused))
+    print(f"universal warp hflip 960x540: kernel {_median(s_fused)*1e6:.0f} "
+          f"us vs XLA {_median(s_base)*1e6:.0f} us", file=sys.stderr)
+
+    src_pts = np.float32([[0, 0], [1919, 0], [0, 1079], [1919, 1079]])
+    dst_pts = np.float32([[20, 10], [620, 25], [8, 370], [630, 380]])
+    mp = cv2.getPerspectiveTransform(src_pts, dst_pts)
+    pipe_p = build(mp, cvgs.Size(640, 384), cvgs.WarpType.PERSPECTIVE)
+    assert pwu.supports(pipe_p)
+    s_fused, _ = diff_time_pipeline(
+        lambda: pipe_p, lambda l: getattr(l, "ndim", 0) == 2 and l.size > 10**6,
+        inner=10, backend=(cvgs.ParBackend.PALLAS if use_pallas
+                           else cvgs.ParBackend.XLA))
+    s_base, _ = diff_time_pipeline(
+        lambda: pipe_p, lambda l: getattr(l, "ndim", 0) == 2 and l.size > 10**6,
+        inner=3, k_large=3, backend=cvgs.ParBackend.XLA)
+    rec.add_case("warp_1080p_perspective_universal",
+                 TimingStats.from_samples(s_base),
+                 TimingStats.from_samples(s_fused))
+    print(f"universal warp perspective 640x384: kernel "
+          f"{_median(s_fused)*1e6:.0f} us vs XLA {_median(s_base)*1e6:.0f} us",
+          file=sys.stderr)
+
+
 def bench_divergent_crop_resize(rec):
     """Divergent batch mixing FLAGSHIP-shaped per-plane crop-resize with
     pass-through planes (reference routing,
@@ -730,6 +784,7 @@ def main():
     bench_circular_ring_insert(rec)
     bench_warp(rec)
     bench_warp_general(rec)
+    bench_warp_universal(rec)
     bench_divergent(rec)
     bench_divergent_geometry(rec)
     bench_divergent_crop_resize(rec)

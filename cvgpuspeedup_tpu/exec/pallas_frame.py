@@ -60,6 +60,9 @@ from ..utils import dtypes as dt
 from .pallas_backend import _ScalarVec, _apply_chain_planar, _chain_out_struct
 
 _HIGHEST = jax.lax.Precision.HIGHEST
+#: weight-Dekker-3 bf16 first pass for bf16-inexact weights (bench A/B knob;
+#: both settings meet the float contract)
+_W3 = True
 _DEFAULT = jax.lax.Precision.DEFAULT
 
 #: total on-chip footprint bound for window rings + weights + blocks.
@@ -403,7 +406,7 @@ def _build_plan(pipeline) -> Optional[dict]:
     # requires the VMEM budget.
     out_itemsize = jnp.dtype(out_dtype).itemsize
     wh_bytes = h_y["wh"].nbytes + (h_uv["wh"].nbytes if h_uv else 0)
-    if (not exact) and src_dtype == jnp.uint8:
+    if _W3 and (not exact) and src_dtype == jnp.uint8:
         # w3 regime stores [hi; lo; lo2] bf16 = 1.5x the f32 bytes
         wh_bytes = (wh_bytes * 3) // 2
     chosen = None
@@ -489,7 +492,7 @@ def _build_plan(pipeline) -> Optional[dict]:
     # product is exact and the f32 accumulation error is ulp-level — MORE
     # accurate than the f32-HIGHEST dot it replaces at ~1/2 the MXU cost
     # (3 bf16 passes vs ~6 for f32). The reduced second pass stays HIGHEST.
-    w3 = (not exact) and src_dtype == jnp.uint8
+    w3 = _W3 and (not exact) and src_dtype == jnp.uint8
 
     # pass order: exact regime minimizes flops (vertical first on a
     # downscale); the general f32 regime is horizontal-first to match the
@@ -524,9 +527,12 @@ def _build_plan(pipeline) -> Optional[dict]:
             r1 = w - hi.astype(np.float32)
             lo = r1.astype(jnp.bfloat16)
             lo2 = (r1 - lo.astype(np.float32)).astype(jnp.bfloat16)
-            # K-triplicated bf16 matrix: lhs duplicates the window slice
+            # COLUMN-stacked parts: one dot against [hi | lo | lo2] and
+            # three cheap adds on the REDUCED output width (a K-triplicated
+            # lhs was measured 2.4x slower — it re-materializes the full
+            # window slice three times per tile)
             part["wh"] = np.concatenate(
-                [np.asarray(hi), np.asarray(lo), np.asarray(lo2)], axis=1)
+                [np.asarray(hi), np.asarray(lo), np.asarray(lo2)], axis=2)
             part["w3"] = True
             part["wv"] = np.asarray(wv, np.float32)
             part["s8"] = None
@@ -875,13 +881,15 @@ def _emit_frame_resize(pipeline, plan: dict, *, interpret: bool):
                 for t in range(p["n_tiles"]):
                     ls = p["lane_starts"][t]
                     if p["w3"]:
-                        sl = win[:, ls:ls + p["span"]]
-                        h = jax.lax.dot_general(
-                            jnp.concatenate([sl, sl, sl], axis=1),
+                        hh = jax.lax.dot_general(
+                            win[:, ls:ls + p["span"]],
                             wh_ref[p["var_ids"][t]],
                             (((1,), (0,)), ((), ())), precision=_DEFAULT,
                             preferred_element_type=jnp.float32,
-                        )
+                        )  # (rows, 3*cols): hi/lo/lo2 partial sums
+                        nc = hh.shape[1] // 3
+                        h = (hh[:, :nc] + hh[:, nc : 2 * nc]
+                             + hh[:, 2 * nc :])
                     else:
                         h = _dot(win[:, ls:ls + p["span"]],
                                  wh_ref[p["var_ids"][t]])

@@ -198,7 +198,15 @@ def _plan(pipeline) -> Optional[dict]:
                    + 9 * s_v * s_h * R * tn   # double select
                    + 60 * R * tn)             # coords + final lerp
             dma_b = k_rows * lanes
-            cost = n_tiles * (400 + mxu / 300_000 + vpu / 3_000 + dma_b / 800)
+            # constants calibrated on the v5e upscale-rot sweeps: (16,20)
+            # 3565us/3072 tiles, (16,64) 2991/960, (16,32) 2867/1920,
+            # (24,32) 3448/1280, (32,32) 3747/1280 — per-tile overhead
+            # ~700ns, select throughput ~2.2 elems/ns
+            cost = n_tiles * (700 + mxu / 300_000 + vpu / 2_200 + dma_b / 800)
+            if nch * T < 96:
+                # sub-tile-wide output lanes underuse the store path and the
+                # dots' N axis (the general kernel's measured penalty)
+                cost *= 1.5
             if best is None or cost < best["cost"]:
                 best = dict(R=R, T=T, K=k_rows, L=lanes, S_v=s_v, S_h=s_h,
                             OFF=off, n_bands=n_bands, n_strips=n_strips,
