@@ -77,9 +77,12 @@ _GROUP_CANDIDATES = (10, 5, 4, 3, 2)
 #: so step s+1's windows must be resident one step earlier than the plain
 #: double-buffered schedule needs
 _RING_SLOTS = 3
-#: schedule selector (True = software-pipelined baked schedule). Both
-#: schedules compute identical values — this is a benchmark A/B knob only.
-_PIPELINE_SCHEDULE = True
+#: schedule selector (True = software-pipelined baked schedule: stage1 of
+#: step s+1 runs beside the H dot of step s through parity-static VMEM
+#: scratch). Measured NEUTRAL-to-slightly-worse on the flagship (Mosaic
+#: does not appear to interleave across pl.when regions), so the proven
+#: plain schedule is the default; the knob stays for benchmark A/Bs.
+_PIPELINE_SCHEDULE = False
 _RING_BUDGET = 3 * 1024 * 1024  # window-ring VMEM cap (bounds group_p)
 #: benchmark-only kernel ablation (None = real kernel): "floor" = DMA +
 #: trivial write only; "nomassage" = skip the rotate; "nochain" = skip the
