@@ -354,9 +354,15 @@ def _emit(pipeline, plan: dict, *, interpret: bool):
     n_fp = n_cf + nch + sum(leaf_sizes) + 1
 
     pad_h = n_bands * R  # ragged last band writes into the pad rows
+    # band-pair grouping: two tiles per grid step amortize the ~700ns step
+    # overhead and give Mosaic two independent dot/select chains to
+    # interleave (the upscale case is step-overhead-bound at ~1900 tiles)
+    G_P = 2 if n_bands % 2 == 0 else 1
+    n_groups = n_bands // G_P
     out_shape = jax.ShapeDtypeStruct((n_strips, out_ch, pad_h, T), out_dtype)
-    out_specs = pl.BlockSpec((1, out_ch, R, T), lambda js, ib, *_: (js, 0, ib, 0))
-    n_steps = n_strips * n_bands
+    out_specs = pl.BlockSpec((1, out_ch, G_P * R, T),
+                             lambda js, ibg, *_: (js, 0, ibg, 0))
+    n_steps = n_strips * n_groups
 
     def kernel(tp_ref, fp_ref, src_ref, *rest):
         out_ref = rest[0]
@@ -392,8 +398,12 @@ def _emit(pipeline, plan: dict, *, interpret: bool):
             return sx, sy
 
         js = pl.program_id(0)
-        ib = pl.program_id(1)
-        st = js * n_bands + ib
+        ibg = pl.program_id(1)
+        st = js * n_groups + ibg
+
+        def tile_flat(stp, g):
+            return ((stp // n_groups) * n_bands
+                    + (stp % n_groups) * G_P + g)
 
         def dma(ft, slot):
             return pltpu.make_async_copy(
@@ -407,131 +417,143 @@ def _emit(pipeline, plan: dict, *, interpret: bool):
 
         @pl.when(st == 0)
         def _():
-            dma(0, 0).start()
+            for g in range(G_P):
+                dma(tile_flat(0, g), g).start()
 
         @pl.when(st + 1 < n_steps)
         def _():
-            dma(st + 1, (st + 1) % 2).start()
+            for g in range(G_P):
+                dma(tile_flat(st + 1, g), ((st + 1) % 2) * G_P + g).start()
 
-        dma(st, st % 2).wait()
+        for g in range(G_P):
+            dma(tile_flat(st, g), (st % 2) * G_P + g).wait()
 
-        wy0_t = tp_ref[st * 2]
-        wl0_t = tp_ref[st * 2 + 1]
         x0 = js * T
-        r0 = ib * R
-        r0f = r0.astype(jnp.float32)
+
+        def tile_body(g):
+            ft = tile_flat(st, g)
+            wy0_t = tp_ref[ft * 2]
+            wl0_t = tp_ref[ft * 2 + 1]
+            r0 = ((st % n_groups) * G_P + g) * R
+            r0f = r0.astype(jnp.float32)
+            _run_tile(g, wy0_t, wl0_t, r0, r0f)
 
         # ---- per-tile one-hot H gather matrix (absolute window lanes) ----
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, ch_cols), 1)
-        hp = col // tn
-        rem = col % tn
-        cch = rem // T
-        xr = rem % T
-        xf_c = (x0 + xr).astype(jnp.float32)
-        sx_top, _ = coords(xf_c, r0f)
-        stair_c = jnp.floor(sx_top).astype(jnp.int32)
-        lane_t = (stair_c - OFF + hp) * nch + cch - wl0_t
-        lrow = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
-        gmat = (lrow == lane_t).astype(jnp.bfloat16)
+        def _run_tile(g, wy0_t, wl0_t, r0, r0f):
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, ch_cols), 1)
+            hp = col // tn
+            rem = col % tn
+            cch = rem // T
+            xr = rem % T
+            xf_c = (x0 + xr).astype(jnp.float32)
+            sx_top, _ = coords(xf_c, r0f)
+            stair_c = jnp.floor(sx_top).astype(jnp.int32)
+            lane_t = (stair_c - OFF + hp) * nch + cch - wl0_t
+            lrow = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+            gmat = (lrow == lane_t).astype(jnp.bfloat16)
 
-        win = window[st % 2].astype(jnp.int32).astype(jnp.bfloat16)
-        dn = (((1,), (0,)), ((), ()))
-        d_raw = jax.lax.dot_general(
-            win, gmat, dn, precision=_DEFAULT,
-            preferred_element_type=jnp.float32,
-        )  # (K, ch_cols): exact u8 taps at (window row, (h, X, ch))
+            win = window[(st % 2) * G_P + g].astype(jnp.int32).astype(
+            jnp.bfloat16)
+            dn = (((1,), (0,)), ((), ()))
+            d_raw = jax.lax.dot_general(
+                win, gmat, dn, precision=_DEFAULT,
+                preferred_element_type=jnp.float32,
+            )  # (K, ch_cols): exact u8 taps at (window row, (h, X, ch))
 
-        # ---- one-hot V gather onto (s, r) candidate rows ----
-        rowid = jax.lax.broadcasted_iota(jnp.int32, (S_v * R, 1), 0)
-        s_of = rowid // R
-        r_of = rowid % R
-        rf_col = (r0 + r_of).astype(jnp.float32)
-        xlf = jnp.full_like(rf_col, x0.astype(jnp.float32))
-        xrf = xlf + np.float32(T - 1)
-        _, sy_l = coords(xlf, rf_col)
-        _, sy_r = coords(xrf, rf_col)
-        kb_col = jnp.floor(jnp.minimum(sy_l, sy_r)).astype(jnp.int32)
-        kk = jnp.clip(kb_col - wy0_t + s_of, 0, K - 1)
-        kcol = jax.lax.broadcasted_iota(jnp.int32, (S_v * R, K), 1)
-        gv = (kcol == kk).astype(jnp.bfloat16)
-        d_all = jax.lax.dot_general(
-            gv, d_raw, dn, precision=_DEFAULT,
-            preferred_element_type=jnp.float32,
-        )  # (S_v*R, ch_cols): exact u8 taps at ((s, r), (h, X, ch))
+            # ---- one-hot V gather onto (s, r) candidate rows ----
+            rowid = jax.lax.broadcasted_iota(jnp.int32, (S_v * R, 1), 0)
+            s_of = rowid // R
+            r_of = rowid % R
+            rf_col = (r0 + r_of).astype(jnp.float32)
+            xlf = jnp.full_like(rf_col, x0.astype(jnp.float32))
+            xrf = xlf + np.float32(T - 1)
+            _, sy_l = coords(xlf, rf_col)
+            _, sy_r = coords(xrf, rf_col)
+            kb_col = jnp.floor(jnp.minimum(sy_l, sy_r)).astype(jnp.int32)
+            kk = jnp.clip(kb_col - wy0_t + s_of, 0, K - 1)
+            kcol = jax.lax.broadcasted_iota(jnp.int32, (S_v * R, K), 1)
+            gv = (kcol == kk).astype(jnp.bfloat16)
+            d_all = jax.lax.dot_general(
+                gv, d_raw, dn, precision=_DEFAULT,
+                preferred_element_type=jnp.float32,
+            )  # (S_v*R, ch_cols): exact u8 taps at ((s, r), (h, X, ch))
 
-        # ---- output-grid coordinates (bit-identical to the XLA sampler) --
-        colo = jax.lax.broadcasted_iota(jnp.int32, (1, tn), 1)
-        ccho = colo // T
-        xro = colo % T
-        xfo = (x0 + xro).astype(jnp.float32)
-        rf = (r0 + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)).astype(
-            jnp.float32)
-        sx_o, sy_o = coords(xfo, rf)
-        ixf = jnp.floor(sx_o)
-        fx = sx_o - ixf
-        ixi = ixf.astype(jnp.int32)
-        iyf = jnp.floor(sy_o)
-        fy = sy_o - iyf
-        iyi = iyf.astype(jnp.int32)
-        vx0 = ((ixi >= 0) & (ixi < src_w)).astype(jnp.float32)
-        vx1 = ((ixi + 1 >= 0) & (ixi + 1 < src_w)).astype(jnp.float32)
-        vyt = ((iyi >= 0) & (iyi < src_h)).astype(jnp.float32)
-        vyb = ((iyi + 1 >= 0) & (iyi + 1 < src_h)).astype(jnp.float32)
-        sx_top_o, _ = coords(xfo, r0f)
-        stair_o = jnp.floor(sx_top_o).astype(jnp.int32)
-        h_sel = ixi - stair_o + OFF  # in [0, S_h-2] by sizing
-        _, sy_lo = coords(jnp.full_like(rf, x0.astype(jnp.float32)), rf)
-        _, sy_ro = coords(jnp.full_like(rf, (x0 + T - 1).astype(jnp.float32)),
-                          rf)
-        kb_o = jnp.floor(jnp.minimum(sy_lo, sy_ro)).astype(jnp.int32)  # (R,1)
-        s_sel = iyi - kb_o  # in [0, S_v-2] by sizing
+            # ---- output-grid coordinates (bit-identical to the XLA sampler) --
+            colo = jax.lax.broadcasted_iota(jnp.int32, (1, tn), 1)
+            ccho = colo // T
+            xro = colo % T
+            xfo = (x0 + xro).astype(jnp.float32)
+            rf = (r0 + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)).astype(
+                jnp.float32)
+            sx_o, sy_o = coords(xfo, rf)
+            ixf = jnp.floor(sx_o)
+            fx = sx_o - ixf
+            ixi = ixf.astype(jnp.int32)
+            iyf = jnp.floor(sy_o)
+            fy = sy_o - iyf
+            iyi = iyf.astype(jnp.int32)
+            vx0 = ((ixi >= 0) & (ixi < src_w)).astype(jnp.float32)
+            vx1 = ((ixi + 1 >= 0) & (ixi + 1 < src_w)).astype(jnp.float32)
+            vyt = ((iyi >= 0) & (iyi < src_h)).astype(jnp.float32)
+            vyb = ((iyi + 1 >= 0) & (iyi + 1 < src_h)).astype(jnp.float32)
+            sx_top_o, _ = coords(xfo, r0f)
+            stair_o = jnp.floor(sx_top_o).astype(jnp.int32)
+            h_sel = ixi - stair_o + OFF  # in [0, S_h-2] by sizing
+            _, sy_lo = coords(jnp.full_like(rf, x0.astype(jnp.float32)), rf)
+            _, sy_ro = coords(jnp.full_like(rf, (x0 + T - 1).astype(jnp.float32)),
+                              rf)
+            kb_o = jnp.floor(jnp.minimum(sy_lo, sy_ro)).astype(jnp.int32)  # (R,1)
+            s_sel = iyi - kb_o  # in [0, S_v-2] by sizing
 
-        # ---- double select: 4 exact taps per element ----
-        s_masks = [s_sel == sc for sc in range(S_v - 1)]
-        v00 = jnp.zeros((R, tn), jnp.float32)
-        v01 = jnp.zeros((R, tn), jnp.float32)
-        v10 = jnp.zeros((R, tn), jnp.float32)
-        v11 = jnp.zeros((R, tn), jnp.float32)
-        for h in range(S_h - 1):
-            bh = h_sel == h
-            for sc in range(S_v - 1):
-                m = bh & s_masks[sc]
-                top = d_all[sc * R : (sc + 1) * R]
-                bot = d_all[(sc + 1) * R : (sc + 2) * R]
-                v00 = v00 + jnp.where(m, top[:, h * tn : (h + 1) * tn], 0.0)
-                v01 = v01 + jnp.where(
-                    m, top[:, (h + 1) * tn : (h + 2) * tn], 0.0)
-                v10 = v10 + jnp.where(m, bot[:, h * tn : (h + 1) * tn], 0.0)
-                v11 = v11 + jnp.where(
-                    m, bot[:, (h + 1) * tn : (h + 2) * tn], 0.0)
+            # ---- double select: 4 exact taps per element ----
+            s_masks = [s_sel == sc for sc in range(S_v - 1)]
+            v00 = jnp.zeros((R, tn), jnp.float32)
+            v01 = jnp.zeros((R, tn), jnp.float32)
+            v10 = jnp.zeros((R, tn), jnp.float32)
+            v11 = jnp.zeros((R, tn), jnp.float32)
+            for h in range(S_h - 1):
+                bh = h_sel == h
+                for sc in range(S_v - 1):
+                    m = bh & s_masks[sc]
+                    top = d_all[sc * R : (sc + 1) * R]
+                    bot = d_all[(sc + 1) * R : (sc + 2) * R]
+                    v00 = v00 + jnp.where(m, top[:, h * tn : (h + 1) * tn], 0.0)
+                    v01 = v01 + jnp.where(
+                        m, top[:, (h + 1) * tn : (h + 2) * tn], 0.0)
+                    v10 = v10 + jnp.where(m, bot[:, h * tn : (h + 1) * tn], 0.0)
+                    v11 = v11 + jnp.where(
+                        m, bot[:, (h + 1) * tn : (h + 2) * tn], 0.0)
 
-        border_col = jnp.zeros((1, tn), jnp.float32)
-        for ci in range(nch):
-            border_col = border_col + jnp.where(
-                ccho == ci, fp_ref[n_cf + ci], 0.0)
-        m00 = vx0 * vyt
-        m01 = vx1 * vyt
-        m10 = vx0 * vyb
-        m11 = vx1 * vyb
-        h0 = ((m00 * v00 + (1.0 - m00) * border_col) * (1.0 - fx)
-              + (m01 * v01 + (1.0 - m01) * border_col) * fx)
-        h1 = ((m10 * v10 + (1.0 - m10) * border_col) * (1.0 - fx)
-              + (m11 * v11 + (1.0 - m11) * border_col) * fx)
-        out_flat = h0 * (1.0 - fy) + h1 * fy
+            border_col = jnp.zeros((1, tn), jnp.float32)
+            for ci in range(nch):
+                border_col = border_col + jnp.where(
+                    ccho == ci, fp_ref[n_cf + ci], 0.0)
+            m00 = vx0 * vyt
+            m01 = vx1 * vyt
+            m10 = vx0 * vyb
+            m11 = vx1 * vyb
+            h0 = ((m00 * v00 + (1.0 - m00) * border_col) * (1.0 - fx)
+                  + (m01 * v01 + (1.0 - m01) * border_col) * fx)
+            h1 = ((m10 * v10 + (1.0 - m10) * border_col) * (1.0 - fx)
+                  + (m11 * v11 + (1.0 - m11) * border_col) * fx)
+            out_flat = h0 * (1.0 - fy) + h1 * fy
 
-        planes = [out_flat[:, ci * T : (ci + 1) * T] for ci in range(nch)]
-        planes = _apply_chain_planar(chain_k, planes)
-        for ci, pline in enumerate(planes):
-            out_ref[0, ci] = pline
+            planes = [out_flat[:, ci * T : (ci + 1) * T] for ci in range(nch)]
+            planes = _apply_chain_planar(chain_k, planes)
+            for ci, pline in enumerate(planes):
+                out_ref[0, ci, g * R : (g + 1) * R] = pline
+
+        for g in range(G_P):
+            tile_body(g)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_strips, n_bands),
+        grid=(n_strips, n_groups),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2, K, L), plan["src_dtype"]),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2 * G_P, K, L), plan["src_dtype"]),
+            pltpu.SemaphoreType.DMA((2 * G_P,)),
         ],
     )
 
