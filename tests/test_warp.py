@@ -259,3 +259,28 @@ def test_pallas_warp_identity_upscale_band_tiles(rng):
     assert plan["n_bands"] > 1 and plan["n_tiles"] > 1
     x, p = _warp_both(ops)
     check_float(p, x, msg="pallas warp 2x upscale vs xla")
+
+
+def test_warp_batch_perspective(rng):
+    """Batched perspective warps with per-plane homographies (the
+    ``cvGS::warp<Perspective, I, BATCH>`` overload family,
+    ``include/cvGPUSpeedup.cuh:381-442``)."""
+    frame = rng.integers(0, 256, (64, 128, 3)).astype(np.uint8)
+    src_pts = np.float32([[0, 0], [127, 0], [0, 63], [127, 63]])
+    mats = []
+    for i in range(4):
+        dst_pts = np.float32([[2 + i, 1], [100 + i, 3], [1, 50], [104, 55 + i]])
+        mats.append(cv2.getPerspectiveTransform(src_pts, dst_pts))
+    out = np.asarray(cvgs.execute_operations(
+        cvgs.warp_batch([frame] * 4, mats, cvgs.Size(64, 32),
+                        warp_type=cvgs.WarpType.PERSPECTIVE),
+        backend=cvgs.ParBackend.XLA,
+    ))
+    assert out.shape == (4, 32, 64, 3)
+    for z in range(4):
+        ref = cv2.warpPerspective(
+            frame.astype(np.float32), mats[z], (64, 32),
+            flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_CONSTANT,
+            borderValue=0)
+        check_float(out[z][2:-2, 2:-2], ref[2:-2, 2:-2], tol=1e-2,
+                    msg=f"batched perspective z={z} interior")
