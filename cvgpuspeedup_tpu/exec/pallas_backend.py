@@ -72,11 +72,11 @@ _DEFAULT = jax.lax.Precision.DEFAULT
 #: predates the window halving — the bigger group now fits VMEM comfortably
 #: and gives Mosaic more independent chains to interleave)
 _GROUP_CANDIDATES = (10, 5, 4, 3, 2)
-#: 3 slots: the baked exact-bf16 schedule SOFTWARE-PIPELINES stage1 (massage
-#: + V dot, VPU-heavy) of step s+1 against the group H dot (MXU) of step s,
-#: so step s+1's windows must be resident one step earlier than the plain
-#: double-buffered schedule needs
-_RING_SLOTS = 3
+#: plain schedule: double-buffered windows (depth-2 measured 13.4 vs 14.0
+#: us/batch min against depth-3 on the flagship). The software-pipelined
+#: schedule overrides to 3 slots in the emitter (step s+1's windows must be
+#: resident one step early).
+_RING_SLOTS = 2
 #: schedule selector (True = software-pipelined baked schedule: stage1 of
 #: step s+1 runs beside the H dot of step s through parity-static VMEM
 #: scratch). Measured NEUTRAL-to-slightly-worse on the flagship (Mosaic
@@ -659,7 +659,9 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
     # unrolled program / compile time). Ring footprint bounds P.
     group_p = 1
     for cand in _GROUP_CANDIDATES:
-        ring = _RING_SLOTS * cand * win_h * lanes_alloc * src.dtype.itemsize
+        # budget at 3 slots (the deepest any schedule uses) so the group
+        # choice never depends on the schedule knob
+        ring = 3 * cand * win_h * lanes_alloc * src.dtype.itemsize
         if n_planes % cand == 0 and ring <= _RING_BUDGET:
             group_p = cand
             break
@@ -703,6 +705,7 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
     # _PIPELINE_SCHEDULE is a bench A/B knob (both schedules are exact).
     use_pipe = (_PIPELINE_SCHEDULE and exact_bf16
                 and weight_consts is not None and steps > 1)
+    ring_slots = 3 if use_pipe else _RING_SLOTS
 
     def kernel(rects_ref, used_ref, fp_ref, src_ref, *rest):
         if weight_consts is not None:
@@ -995,9 +998,9 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
                     out_refs[c][j] = p
 
         # ring-buffered crop-window pipeline across grid steps: step s waits
-        # on the group DMAs issued RING_SLOTS-1 steps earlier while later
+        # on the group DMAs issued ring_slots-1 steps earlier while later
         # steps' windows fly
-        n_slots = _RING_SLOTS
+        n_slots = ring_slots
 
         @pl.when(s == 0)
         def _():
@@ -1158,7 +1161,7 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
         in_specs=in_specs,
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((_RING_SLOTS * group_p, win_h, lanes_alloc), src.dtype),
+            pltpu.VMEM((ring_slots * group_p, win_h, lanes_alloc), src.dtype),
         ]
         + (
             # two t scratches for the software-pipelined baked schedule
@@ -1168,7 +1171,7 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
             if use_pipe else []
         )
         + [
-            pltpu.SemaphoreType.DMA((_RING_SLOTS * group_p,)),
+            pltpu.SemaphoreType.DMA((ring_slots * group_p,)),
         ],
     )
 
