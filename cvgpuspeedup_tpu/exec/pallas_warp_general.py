@@ -77,6 +77,15 @@ from .pallas_backend import _ScalarVec, _apply_chain_planar, _chain_out_struct
 _DEFAULT = jax.lax.Precision.DEFAULT
 
 _VMEM_BUDGET = 12 * 1024 * 1024
+#: s8-packed candidate selection: the V gather runs as an s8 one-hot dot
+#: (XOR-bias widen, exact i32 u8 values), 4 candidates pack per i32 word
+#: (chip-probed little-endian bitcast), and the select telescopes over
+#: GROUPS of 4 with per-element byte extraction — 4x fewer prefix-mask
+#: iterations on the dominant (R, L) grid. MEASURED 8% SLOWER than the f32
+#: telescoping on chip (537 vs 498 us for the 10-degree rotation,
+#: bit-exact either way): the i32->u8 pack casts run on the full candidate
+#: grid and cost more than the saved iterations. Kept for A/Bs.
+_PACKED_SELECT = False
 _MAX_SV = 56   # vertical candidate cap (beyond: tilt too steep for this tiling)
 _MAX_SH = 18   # horizontal candidate cap
 _FORCE_RT = None  # bench-only (R, T) override for tiling sweeps
@@ -476,26 +485,57 @@ def _emit(pipeline, plan: dict, *, interpret: bool):
             hbase_t = tp_ref[ft, 3]
             r0 = (ibg * G_P + g) * R
 
-            # ---- window -> bf16 (u8 values are bf16-exact) ----
-            win = window[(st % 2) * G_P + g].astype(jnp.int32).astype(
-                jnp.bfloat16)
+            dn0 = (((1,), (0,)), ((), ()))
+            if _PACKED_SELECT:
+                # ---- s8 vertical candidate gather, GROUP-major rows:
+                # row = gg*(4R) + r*4 + s' so the u8 bitcast packs the 4
+                # in-group candidates of each (gg, r) into ONE i32 word
+                # (byte b = candidate 4*gg+b; chip-probed little-endian).
+                # The raw u8 window feeds the s8 MXU via the XOR-bias
+                # trick — no bf16 widen at all. ----
+                n4 = (S_v + 3) // 4
+                m_rows = n4 * 4 * R
+                rowid = jax.lax.broadcasted_iota(jnp.int32, (m_rows, 1), 0)
+                g_of = rowid // (4 * R)
+                rem4 = rowid % (4 * R)
+                r_of = rem4 // 4
+                s_of = g_of * 4 + rem4 % 4
+                rf_col = (r0 + r_of).astype(jnp.float32)
+                kbase_col = (
+                    jnp.floor(mindx + (kmul(E, rf_col) + F)).astype(jnp.int32)
+                    - wy0_t
+                )
+                kk = jnp.clip(kbase_col + s_of, 0, K - 1)
+                kcol = jax.lax.broadcasted_iota(jnp.int32, (m_rows, K), 1)
+                gv8 = (kcol == kk).astype(jnp.int8)
+                win_x = pltpu.bitcast(
+                    window[(st % 2) * G_P + g] ^ jnp.uint8(0x80), jnp.int8)
+                v_int = jax.lax.dot_general(
+                    gv8, win_x, dn0, preferred_element_type=jnp.int32,
+                ) + 128  # (m_rows, L): exact u8 candidate values
+                packed = pltpu.bitcast(
+                    v_int.astype(jnp.uint8), jnp.int32)  # (n4*R, L)
+            else:
+                # ---- window -> bf16 (u8 values are bf16-exact) ----
+                win = window[(st % 2) * G_P + g].astype(jnp.int32).astype(
+                    jnp.bfloat16)
 
-            # ---- vertical candidate gather: ONE one-hot matmul ----
-            rowid = jax.lax.broadcasted_iota(jnp.int32, (S_v * R, 1), 0)
-            s_of = rowid // R
-            r_of = rowid % R
-            rf_col = (r0 + r_of).astype(jnp.float32)
-            kbase_col = (
-                jnp.floor(mindx + (kmul(E, rf_col) + F)).astype(jnp.int32)
-                - wy0_t
-            )
-            kk = jnp.clip(kbase_col + s_of, 0, K - 1)
-            kcol = jax.lax.broadcasted_iota(jnp.int32, (S_v * R, K), 1)
-            gv = (kcol == kk).astype(jnp.bfloat16)
-            v_all = jax.lax.dot_general(
-                gv, win, (((1,), (0,)), ((), ())),
-                precision=_DEFAULT, preferred_element_type=jnp.float32,
-            )  # (S_v*R, L): candidate source rows, exact u8 values
+                # ---- vertical candidate gather: ONE one-hot matmul ----
+                rowid = jax.lax.broadcasted_iota(jnp.int32, (S_v * R, 1), 0)
+                s_of = rowid // R
+                r_of = rowid % R
+                rf_col = (r0 + r_of).astype(jnp.float32)
+                kbase_col = (
+                    jnp.floor(mindx + (kmul(E, rf_col) + F)).astype(jnp.int32)
+                    - wy0_t
+                )
+                kk = jnp.clip(kbase_col + s_of, 0, K - 1)
+                kcol = jax.lax.broadcasted_iota(jnp.int32, (S_v * R, K), 1)
+                gv = (kcol == kk).astype(jnp.bfloat16)
+                v_all = jax.lax.dot_general(
+                    gv, win, (((1,), (0,)), ((), ())),
+                    precision=_DEFAULT, preferred_element_type=jnp.float32,
+                )  # (S_v*R, L): candidate source rows, exact u8 values
 
             # ---- consumer-unique candidate selection on the (r, lane)
             # grid: UNWEIGHTED top/bottom source rows per lane. VT[r, l] =
@@ -537,17 +577,40 @@ def _emit(pipeline, plan: dict, *, interpret: bool):
             # in one S_v sweep sharing the (sel >= sc) masks; out-of-range
             # sel (clipped consumer-less lanes) telescopes to an end value —
             # garbage lanes are never gathered as valid taps
-            # VT = V[0] + sum_{sc>=1} [sel>=sc]*(V[sc]-V[sc-1])
-            # VB = V[1] + sum_{sc>=2} [sel>=sc-1]*(V[sc]-V[sc-1])
-            # (sel <= S_v-2 by sizing, so VB never needs a V[S_v] term)
-            vt_rows = v_all[0:R]
-            vb_rows = v_all[R : 2 * R]
-            for sc in range(1, S_v):
-                d_sc = (v_all[sc * R : (sc + 1) * R]
-                        - v_all[(sc - 1) * R : sc * R])
-                vt_rows = vt_rows + jnp.where(sel >= sc, d_sc, 0.0)
-                if sc >= 2:
-                    vb_rows = vb_rows + jnp.where(sel >= sc - 1, d_sc, 0.0)
+            if _PACKED_SELECT:
+                # group-telescoped packed words: Gp = packed[gsel] and
+                # Gn = packed[gsel+1] share masks (i32 wrap-subtraction
+                # telescopes exactly mod 2^32); then per-element byte
+                # extraction via variable logical shifts (chip-probed)
+                gsel = sel >> 2
+                bb = sel & 3
+                gp = packed[0:R]
+                gn = packed[R : 2 * R] if n4 > 1 else packed[0:R]
+                prev_mask = None
+                for gg in range(1, n4):
+                    d_g = (packed[gg * R : (gg + 1) * R]
+                           - packed[(gg - 1) * R : gg * R])
+                    mask = gsel >= gg
+                    gp = gp + jnp.where(mask, d_g, 0)
+                    if gg >= 2:
+                        gn = gn + jnp.where(prev_mask, d_g, 0)
+                    prev_mask = mask
+                vt_rows = jax.lax.shift_right_logical(gp, bb << 3) & 255
+                b2 = (bb + 1) & 3
+                src_n = jnp.where(bb == 3, gn, gp)
+                vb_rows = jax.lax.shift_right_logical(src_n, b2 << 3) & 255
+            else:
+                # VT = V[0] + sum_{sc>=1} [sel>=sc]*(V[sc]-V[sc-1])
+                # VB = V[1] + sum_{sc>=2} [sel>=sc-1]*(V[sc]-V[sc-1])
+                # (sel <= S_v-2 by sizing, so VB never needs a V[S_v] term)
+                vt_rows = v_all[0:R]
+                vb_rows = v_all[R : 2 * R]
+                for sc in range(1, S_v):
+                    d_sc = (v_all[sc * R : (sc + 1) * R]
+                            - v_all[(sc - 1) * R : sc * R])
+                    vt_rows = vt_rows + jnp.where(sel >= sc, d_sc, 0.0)
+                    if sc >= 2:
+                        vb_rows = vb_rows + jnp.where(sel >= sc - 1, d_sc, 0.0)
 
             # ---- per-SUB-BAND lane re-base (8-row blocks): each sub-band
             # re-anchors to its own hbase_i so the H candidate span only
@@ -555,7 +618,7 @@ def _emit(pipeline, plan: dict, *, interpret: bool):
             def _rebase(vmat):
                 if L_pad > L:
                     vmat = jnp.concatenate(
-                        [vmat, jnp.zeros((R, L_pad - L), jnp.float32)], axis=1
+                        [vmat, jnp.zeros((R, L_pad - L), vmat.dtype)], axis=1
                     )
                 blocks = []
                 for i in range(R // 8):
