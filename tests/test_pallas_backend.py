@@ -248,3 +248,25 @@ def test_bottom_aligned_uniform_crops(rng):
     assert pipe.read.uniform_wh == (60, 64)  # baked-weights path engaged
     x, p = _both(ops)
     check_float(p, x, msg="bottom-aligned uniform crops")
+
+
+def test_pipelined_schedule_parity(rng):
+    """The software-pipelined baked schedule (A/B knob) computes the same
+    values as the plain schedule and the XLA path."""
+    from cvgpuspeedup_tpu.exec import pallas_backend as pb
+
+    frame = rng.integers(0, 256, (296, 384, 3)).astype(np.uint8)
+    rects = np.array([[i, i, 60, 120] for i in range(20)], np.int32)
+    ops = lambda: [
+        cvgs.resize_batch(frame, rects=rects, dsize=cvgs.Size(64, 128)),
+        cvgs.convert_to(np.float32, alpha=0.3),
+        cvgs.split_tensor(),
+    ]
+    x = np.asarray(cvgs.execute_operations(*ops(), backend=cvgs.ParBackend.XLA))
+    old = pb._PIPELINE_SCHEDULE
+    try:
+        pb._PIPELINE_SCHEDULE = True
+        p = pb.try_lower(cvgs.build_pipeline(*ops()), interpret=True)
+        check_float(np.asarray(p), x, tol=0, msg="pipelined schedule vs xla")
+    finally:
+        pb._PIPELINE_SCHEDULE = old
