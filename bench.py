@@ -337,7 +337,12 @@ def main():
     floor_s = None
     floor_valid = False
     if use_pallas:
-        floor_s = measure_floor(pipeline, min_valid=roofline_s)
+        # rejection bound: the WRITE-ONLY traffic. The 50 crop windows
+        # overlap heavily in the source (rects at (i, i)), so DRAM
+        # row-buffer hits can stream re-reads faster than spec bandwidth —
+        # sub-analytic floor samples are physically possible; sub-write-
+        # bound samples are not.
+        floor_s = measure_floor(pipeline, min_valid=out_bytes / 819e9)
         # the measured floor bounds the kernel from below; a floor ABOVE the
         # achieved time means the floor run was contended/noisy — flag it
         # invalid rather than publishing a >100% "pct_of_floor" (VERDICT r3
