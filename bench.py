@@ -269,9 +269,43 @@ def unfused_baseline(frame_dev, rects_np, reps=3):
     return (time.perf_counter() - t0) / reps
 
 
+# Wall-clock budget for the whole bench process. The driver kills bench.py
+# at a fixed timeout (BENCH_r04: rc=124 after a 1001 s transfer warm ate the
+# entire window before any record landed) — so the machine-readable stdout
+# JSON is emitted IMMEDIATELY after the flagship measurement, and every
+# later stage (letterbox, floor, unfused baseline, XLA path) first checks
+# that enough budget remains, then re-emits an AMENDED line when it adds
+# data. A cold 20-min run therefore always produces a parsed record.
+BUDGET_S = float(os.environ.get("CVGS_BENCH_BUDGET_S", "1100"))
+_T_START = time.perf_counter()
+
+
+def time_left():
+    return BUDGET_S - (time.perf_counter() - _T_START)
+
+
+def emit(report, t_fused, t_unfused, stage):
+    """Write the JSON artifact and print the driver-parsed stdout line.
+    Called after every completed stage — the LAST printed line is the most
+    complete record, but any single line is valid on its own."""
+    log(f"report[{stage}]: " + json.dumps(report))
+    try:
+        with open("benchmarks/flagship_results.json", "w") as f:
+            json.dump(report, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps({
+        "metric": "images_per_sec_chip_50crop_resize_normalize_split",
+        "value": round(BATCH / t_fused, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(t_unfused / t_fused, 2),
+    }), flush=True)
+
+
 def main():
     platform = jax.default_backend()
     log(f"backend: {platform}, devices: {jax.devices()}")
+    log(f"bench budget: {BUDGET_S:.0f}s (CVGS_BENCH_BUDGET_S)")
 
     rng = np.random.default_rng(42)
     frame = rng.integers(0, 256, (SRC_H, SRC_W, 3)).astype(np.uint8)
@@ -297,51 +331,74 @@ def main():
     t_fused = differential_time(pipeline, fused_lower)
     log(f"fused ({'pallas' if use_pallas else 'xla'}): {t_fused*1e6:.1f} us/batch")
 
-    # ---- PRESERVE_AR (letterbox) flagship row: the reference's aspect-ratio
-    # headline config (test_batchresize_aspectratio_x_split3D.cu:125-173),
-    # 30x120 crops fitted to (32, 128) centered in the 64x128 tile ----
-    rects_ar = np.array([[i, i, 30, 120] for i in range(BATCH)], np.int32)
-    pipe_ar = build_pipeline(frame, rects_ar, mode=cvgs.AspectRatio.PRESERVE_AR)
-    ar_pallas = platform == "tpu" and pallas_backend.supports(pipe_ar)
-    ar_lower = (
-        (lambda p: pallas_backend.try_lower(p, interpret=False))
-        if ar_pallas else (lambda p: p.lower())
-    )
-    check_on_device(pipe_ar, ar_lower, _oracle_letterbox(frame, rects_ar))
-    t_ar = differential_time(pipe_ar, ar_lower)
-    log(f"letterbox fused ({'pallas' if ar_pallas else 'xla'}): "
-        f"{t_ar*1e6:.1f} us/batch")
-
-    t_xla = differential_time(pipeline, lambda p: p.lower(),
-                              inner=20, k_small=1, k_large=5)
-    log(f"fused xla path: {t_xla*1e6:.1f} us/batch")
-
-    t_unfused = unfused_baseline(frame_dev, rects)
-    log(f"unfused 250-dispatch baseline: {t_unfused*1e3:.2f} ms/batch")
-
-    images_per_sec = BATCH / t_fused
-    speedup = t_unfused / t_fused
-
     # HBM roofline: bytes touched per batch (per-plane DMA windows + planar
-    # f32 outputs) at v5e ~819 GB/s, plus the memory floor MEASURED IN THIS
-    # RUN (same grid/DMA/write skeleton, compute ablated) — grid-step and
-    # DMA-issue overheads the analytic number ignores. Window bytes come
-    # from the kernel's OWN DMA geometry (win_h x lanes; a 60x120 crop is a
-    # 128x384 window — r3 hardcoded 768 lanes and published a 33%-inflated
-    # "analytic floor").
+    # f32 outputs) at v5e ~819 GB/s. Window bytes come from the kernel's OWN
+    # DMA geometry (win_h x lanes; a 60x120 crop is a 128x384 window — r3
+    # hardcoded 768 lanes and published a 33%-inflated "analytic floor").
     geo = pallas_backend._window_geometry(pipeline.read)
     window_bytes = BATCH * geo["win_h"] * geo["lanes"]
     out_bytes = BATCH * 3 * 128 * 64 * 4
     roofline_s = (window_bytes + out_bytes) / 819e9
     pct_of_analytic = roofline_s / t_fused * 100
-    floor_s = None
-    floor_valid = False
-    if use_pallas:
-        # rejection bound: the WRITE-ONLY traffic. The 50 crop windows
-        # overlap heavily in the source (rects at (i, i)), so DRAM
-        # row-buffer hits can stream re-reads faster than spec bandwidth —
-        # sub-analytic floor samples are physically possible; sub-write-
-        # bound samples are not.
+    log(f"analytic HBM time {roofline_s*1e6:.1f} us/batch "
+        f"(achieved = {pct_of_analytic:.0f}% of analytic)")
+
+    # ---- FIRST RECORD: flagship + analytic floor, vs_baseline from the
+    # last committed measurement of the (stable, ~82 ms) unfused baseline —
+    # replaced by this run's measurement below if the budget allows ----
+    prior_unfused_s = 0.0819
+    try:
+        with open("benchmarks/flagship_results.json") as f:
+            prior = json.load(f)
+        if prior.get("unfused_ms_per_batch"):
+            prior_unfused_s = prior["unfused_ms_per_batch"] / 1e3
+    except (OSError, ValueError):
+        pass
+    report = {
+        "flagship_us_per_batch": round(t_fused * 1e6, 2),
+        # primary efficiency metric: achieved vs the ANALYTIC HBM roofline
+        # (bytes / 819 GB/s). Always physically meaningful (<=100%).
+        "analytic_floor_us_per_batch": round(roofline_s * 1e6, 2),
+        "pct_of_analytic": round(pct_of_analytic, 1),
+        "letterbox_us_per_batch": None,
+        "letterbox_images_per_sec": None,
+        "measured_floor_us_per_batch": None,
+        "pct_of_measured_floor": None,
+        "xla_us_per_batch": None,
+        "unfused_ms_per_batch": None,
+        "vs_baseline_source": "prior-run",
+        "backend": "pallas" if use_pallas else "xla",
+    }
+    emit(report, t_fused, prior_unfused_s, "flagship")
+
+    # ---- PRESERVE_AR (letterbox) flagship row: the reference's aspect-ratio
+    # headline config (test_batchresize_aspectratio_x_split3D.cu:125-173),
+    # 30x120 crops fitted to (32, 128) centered in the 64x128 tile ----
+    if time_left() > 150:
+        rects_ar = np.array([[i, i, 30, 120] for i in range(BATCH)], np.int32)
+        pipe_ar = build_pipeline(frame, rects_ar,
+                                 mode=cvgs.AspectRatio.PRESERVE_AR)
+        ar_pallas = platform == "tpu" and pallas_backend.supports(pipe_ar)
+        ar_lower = (
+            (lambda p: pallas_backend.try_lower(p, interpret=False))
+            if ar_pallas else (lambda p: p.lower())
+        )
+        check_on_device(pipe_ar, ar_lower, _oracle_letterbox(frame, rects_ar))
+        t_ar = differential_time(pipe_ar, ar_lower)
+        log(f"letterbox fused ({'pallas' if ar_pallas else 'xla'}): "
+            f"{t_ar*1e6:.1f} us/batch")
+        report["letterbox_us_per_batch"] = round(t_ar * 1e6, 2)
+        report["letterbox_images_per_sec"] = round(BATCH / t_ar, 1)
+        emit(report, t_fused, prior_unfused_s, "letterbox")
+    else:
+        log(f"SKIP letterbox stage ({time_left():.0f}s left)")
+
+    # ---- in-run memory floor (same DMA/write skeleton, compute ablated);
+    # rejection bound: the WRITE-ONLY traffic — the 50 crop windows overlap
+    # heavily in the source (rects at (i, i)), so DRAM row-buffer hits can
+    # stream re-reads faster than spec bandwidth; sub-analytic floor samples
+    # are physically possible, sub-write-bound samples are not ----
+    if use_pallas and time_left() > 120:
         floor_s = measure_floor(pipeline, min_valid=out_bytes / 819e9)
         # the measured floor bounds the kernel from below; a floor ABOVE the
         # achieved time means the floor run was contended/noisy — flag it
@@ -351,46 +408,36 @@ def main():
         floor_note = (
             "valid" if floor_valid else "INVALID: floor > achieved (contended)"
         )
-        log(f"analytic HBM time {roofline_s*1e6:.1f} us/batch "
-            f"(achieved = {pct_of_analytic:.0f}% of analytic); memory floor "
-            f"measured THIS RUN {floor_s*1e6:.1f} us ({floor_note})")
+        log(f"memory floor measured THIS RUN {floor_s*1e6:.1f} us "
+            f"({floor_note})")
+        if floor_valid:
+            report["measured_floor_us_per_batch"] = round(floor_s * 1e6, 2)
+            report["pct_of_measured_floor"] = round(floor_s / t_fused * 100, 1)
+            emit(report, t_fused, prior_unfused_s, "floor")
+    elif use_pallas:
+        log(f"SKIP floor stage ({time_left():.0f}s left)")
 
-    # letterbox row: second metric, kept off stdout (the driver parses ONE
-    # JSON line) — stderr lands in the recorded tail, and the full report is
-    # committed as a JSON artifact
-    report = {
-        "flagship_us_per_batch": round(t_fused * 1e6, 2),
-        "letterbox_us_per_batch": round(t_ar * 1e6, 2),
-        "letterbox_images_per_sec": round(BATCH / t_ar, 1),
-        # primary efficiency metric: achieved vs the ANALYTIC HBM roofline
-        # (bytes / 819 GB/s). Always physically meaningful (<=100%).
-        "analytic_floor_us_per_batch": round(roofline_s * 1e6, 2),
-        "pct_of_analytic": round(pct_of_analytic, 1),
-        # secondary: in-run DMA-skeleton floor; published only when it is
-        # physically consistent (floor <= achieved) — see measure_floor.
-        "measured_floor_us_per_batch": (
-            round(floor_s * 1e6, 2) if floor_valid else None
-        ),
-        "pct_of_measured_floor": (
-            round(floor_s / t_fused * 100, 1) if floor_valid else None
-        ),
-        "xla_us_per_batch": round(t_xla * 1e6, 1),
-        "unfused_ms_per_batch": round(t_unfused * 1e3, 2),
-        "backend": "pallas" if use_pallas else "xla",
-    }
-    log("report: " + json.dumps(report))
-    try:
-        with open("benchmarks/flagship_results.json", "w") as f:
-            json.dump(report, f, indent=1)
-    except OSError:
-        pass
+    # ---- unfused 250-dispatch baseline: this run's own vs_baseline ----
+    if time_left() > 180:
+        t_unfused = unfused_baseline(frame_dev, rects)
+        log(f"unfused 250-dispatch baseline: {t_unfused*1e3:.2f} ms/batch")
+        report["unfused_ms_per_batch"] = round(t_unfused * 1e3, 2)
+        report["vs_baseline_source"] = "this-run"
+        emit(report, t_fused, t_unfused, "unfused")
+    else:
+        t_unfused = prior_unfused_s
+        log(f"SKIP unfused baseline ({time_left():.0f}s left); "
+            "vs_baseline stays prior-run")
 
-    print(json.dumps({
-        "metric": "images_per_sec_chip_50crop_resize_normalize_split",
-        "value": round(images_per_sec, 1),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(speedup, 2),
-    }))
+    # ---- fused-XLA comparison row (slowest optional stage) ----
+    if time_left() > 120:
+        t_xla = differential_time(pipeline, lambda p: p.lower(),
+                                  inner=20, k_small=1, k_large=5)
+        log(f"fused xla path: {t_xla*1e6:.1f} us/batch")
+        report["xla_us_per_batch"] = round(t_xla * 1e6, 1)
+        emit(report, t_fused, t_unfused, "xla")
+    else:
+        log(f"SKIP fused-XLA stage ({time_left():.0f}s left)")
 
 
 if __name__ == "__main__":

@@ -337,7 +337,11 @@ def launch_divergent_batch(
     use_pallas = backend in (ParBackend.PALLAS, ParBackend.PALLAS_INTERPRET) or (
         backend == ParBackend.AUTO and jax.default_backend() == "tpu"
     )
-    use_pallas = use_pallas and pallas_divergent.supports(seqs, plane_ids)
+    # AUTO refuses plans whose unaligned whole-plane stacks would pay a full
+    # per-launch lane-padding copy (an explicit PALLAS request keeps them)
+    use_pallas = use_pallas and pallas_divergent.supports(
+        seqs, plane_ids, allow_pad=backend != ParBackend.AUTO
+    )
     interpret = backend == ParBackend.PALLAS_INTERPRET
     global _LAST_BACKEND
     _LAST_BACKEND = ("pallas:divergent" + (":interpret" if interpret else "")

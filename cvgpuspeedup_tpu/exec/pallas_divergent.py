@@ -122,9 +122,15 @@ def _seq_info(seq) -> Optional[dict]:
             return None
         if not isinstance(seq.write, (TensorWrite, Write2D)):
             return None
+        # dy residual range covers BOTH regimes: unclamped 8-aligned starts
+        # (dy <= 7) and the bottom-of-frame clamp to src_h - win_h, where
+        # dy = y0 - (src_h - win_h) <= win_h - crop_h (an 8-entry table read
+        # out of bounds for bottom-aligned crops — see pallas_backend
+        # _n_dy_uniform)
+        n_dy = pbk._n_dy_uniform(geo["win_h"], int(read.uniform_wh[1]))
         return dict(src=src, kind="crop_resize", asc=True, chain=chain,
                     read=read, pshape=(read.dsize.height, read.dsize.width, c),
-                    packed=read.packed_channels, geo=geo,
+                    packed=read.packed_channels, geo=geo, n_dy=n_dy,
                     lanes_alloc=lanes_alloc,
                     sshape=(geo["win_h"], lanes_alloc, 1))
     elif isinstance(read, BatchResizeRead) and read.stack is not None:
@@ -275,7 +281,7 @@ def _bake_nv12(info, h_out: int, w_out: int):
             jnp.asarray(h_uv), jnp.asarray(delta))
 
 
-def _plan(seqs: Sequence, plane_ids) -> Optional[list]:
+def _plan(seqs: Sequence, plane_ids, *, allow_pad: bool = True) -> Optional[list]:
     n = len(plane_ids)
     infos = []
     shape0 = None
@@ -321,6 +327,13 @@ def _plan(seqs: Sequence, plane_ids) -> Optional[list]:
             return None
         if info["kind"] == "nv12" and (sw * sc) % 128:
             return None
+        if (not allow_pad and info["kind"] in ("image", "circ", "resize")
+                and (sw * sc) % 128):
+            # lane-padding an unaligned whole-plane stack is a full extra
+            # HBM copy of the source per launch (the relayout class the
+            # project gotchas flag) — under AUTO, prefer the XLA merge; an
+            # explicit PALLAS request keeps the (correct) padded path
+            return None
         vmem += 2 * sh * sw * sc * jnp.dtype(info["src"].dtype).itemsize
         if info["kind"] == "resize":
             # baked interpolation matrices live in VMEM for the launch
@@ -328,7 +341,7 @@ def _plan(seqs: Sequence, plane_ids) -> Optional[list]:
         elif info["kind"] == "crop_resize":
             geo = info["geo"]
             # phase-stacked V matrix + interleaved H matrix + widened window
-            vmem += (8 * h * geo["win_h"]
+            vmem += (info["n_dy"] * h * geo["win_h"]
                      + geo["core_w"] * c * w * c
                      + geo["win_h"] * info["lanes_alloc"]) * 4
         elif info["kind"] == "nv12":
@@ -360,8 +373,8 @@ def _plan(seqs: Sequence, plane_ids) -> Optional[list]:
     return infos
 
 
-def supports(seqs, plane_ids) -> bool:
-    return _plan(seqs, plane_ids) is not None
+def supports(seqs, plane_ids, *, allow_pad: bool = True) -> bool:
+    return _plan(seqs, plane_ids, allow_pad=allow_pad) is not None
 
 
 def try_lower(seqs, plane_ids, *, interpret: bool = False):
@@ -473,8 +486,8 @@ def _emit(plane_ids, infos, *, interpret: bool):
             win_h, core_w = geo["win_h"], geo["core_w"]
             iy0, iy1, wy = axis_lerp_np(np.arange(h, dtype=np.int64),
                                         crop_h, h)
-            wv = np.zeros((8, h, win_h), np.float32)
-            for dy in range(8):
+            wv = np.zeros((info["n_dy"], h, win_h), np.float32)
+            for dy in range(info["n_dy"]):
                 np.add.at(wv[dy], (np.arange(h), iy0 + dy),
                           (1.0 - wy).astype(np.float32))
                 np.add.at(wv[dy], (np.arange(h), iy1 + dy),

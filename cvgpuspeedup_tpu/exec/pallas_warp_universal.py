@@ -230,7 +230,11 @@ def profitable(pipeline) -> bool:
     if plan is None:
         return False
     out_px = plan["dst_w"] * plan["dst_h"]
-    xla_ns = out_px * 8_000
+    # ~8 ms/Mpx = 8 ns/px (same figure as pallas_warp_general.profitable);
+    # the cost model is in ns, so the comparison must be too — an 8_000
+    # factor here made the gate vacuous and routed worst-in-bucket plans
+    # (large S_v/S_h) to the kernel even where the model predicts XLA wins
+    xla_ns = out_px * 8
     return out_px >= 64 * 64 and plan["cost"] < 0.6 * xla_ns
 
 

@@ -41,6 +41,18 @@ def check_exact(actual, expected, msg=""):
     assert diff == 0, f"{msg}: {diff} mismatching pixels (integer outputs must be bit-exact)"
 
 
+def assert_backend(expected):
+    """Assert the emitter the last ``execute_operations`` /
+    ``launch_divergent_batch`` actually used. Pallas parity tests MUST call
+    this after the interpret-mode run: an explicit PALLAS request silently
+    falls through to XLA when no emitter matches, which would turn the
+    parity check into an XLA-vs-XLA no-op (VERDICT r4 weak #6)."""
+    from cvgpuspeedup_tpu.exec import executor
+
+    got = executor.last_backend()
+    assert got == expected, f"emitter {got!r}, parity test expected {expected!r}"
+
+
 def check_float(actual, expected, tol=FLOAT_TOL, msg=""):
     actual = np.asarray(actual, dtype=np.float64)
     expected = np.asarray(expected, dtype=np.float64)

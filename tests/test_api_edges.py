@@ -183,4 +183,6 @@ def test_pallas_scalar_vec_broadcast(rng):
     ]
     x = np.asarray(cvgs.execute_operations(*ops(), backend=cvgs.ParBackend.XLA))
     p = np.asarray(cvgs.execute_operations(*ops(), backend=cvgs.ParBackend.PALLAS_INTERPRET))
+    from conftest import assert_backend
+    assert_backend("pallas:batch_resize:interpret")
     check_float(p, x, msg="len-1 scalar broadcast")

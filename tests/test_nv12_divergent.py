@@ -233,6 +233,8 @@ def test_divergent_pallas_kernel_parity(rng):
             ids, seq1, seq2, backend=cvgs.ParBackend.XLA))
         p = np.asarray(cvgs.launch_divergent_batch(
             ids, seq1, seq2, backend=cvgs.ParBackend.PALLAS_INTERPRET))
+        from conftest import assert_backend
+        assert_backend("pallas:divergent:interpret")
         assert x.shape == p.shape == (n, 16, 128, 3)
         check_float(p, x, tol=0, msg=f"divergent pallas vs xla first={first}")
 
@@ -370,3 +372,46 @@ def test_divergent_crop_resize_rect_jitter_no_recompile(rng):
             backend=cvgs.ParBackend.PALLAS_INTERPRET)))
     assert len(executor._CACHE) == 1
     assert not np.allclose(outs[0], outs[1])
+
+
+def test_divergent_crop_resize_bottom_of_frame(rng):
+    """Bottom-aligned crops: the 8-aligned window start clamps at
+    src_h - win_h and the dy residual EXCEEDS 7 (src_h=296, crop_h=120,
+    win_h=128, y0=176 -> dy=8). The baked per-dy table must cover
+    max(8, win_h - crop_h + 1) entries — an 8-entry table read out of
+    bounds here (ADVICE r4 high: silently wrong vertical taps on chip)."""
+    from cvgpuspeedup_tpu.exec import pallas_divergent as pd
+
+    frame = rng.integers(0, 256, (296, 384, 3)).astype(np.uint8)
+    n = 4
+    # y0=176 is the maximal valid start (176 + 120 = 296 = src_h)
+    rects = np.array([[8 * z, 176 - z, 60, 120] for z in range(n)], np.int32)
+    seq1 = cvgs.build_operation_sequence(
+        cvgs.resize_batch(frame, rects=rects, dsize=cvgs.Size(64, 128)),
+        cvgs.convert_to(np.float32, alpha=0.5), cvgs.write_tensor(),
+    )
+    flat = rng.integers(0, 200, (n, 128, 64, 3)).astype(np.float32)
+    seq2 = cvgs.build_operation_sequence(cvgs.image(flat), cvgs.write_tensor())
+    ids = [1, 1, 2, 1]
+    assert pd.supports([seq1, seq2], ids)
+    p = np.asarray(pd.try_lower([seq1, seq2], ids, interpret=True))
+    x = np.asarray(cvgs.launch_divergent_batch(
+        ids, seq1, seq2, backend=cvgs.ParBackend.XLA))
+    check_float(p, x, msg="divergent bottom-of-frame crop vs xla")
+
+
+def test_divergent_auto_refuses_lane_pad(rng):
+    """Lane-unaligned whole-plane stacks pay a full per-launch padding copy
+    inside the kernel program — AUTO must route them to the XLA merge
+    (ADVICE r4 low); an explicit PALLAS request keeps the padded path."""
+    from cvgpuspeedup_tpu.exec import pallas_divergent as pd
+
+    data = rng.integers(0, 200, (4, 16, 100, 3)).astype(np.float32)  # 300 lanes
+    seq = cvgs.build_operation_sequence(
+        cvgs.image(data), cvgs.multiply(2.0), cvgs.write_tensor())
+    ids = [1, 1, 1, 1]
+    assert pd.supports([seq], ids, allow_pad=True)
+    assert not pd.supports([seq], ids, allow_pad=False)
+    # the padded explicit path still computes correctly
+    p = np.asarray(pd.try_lower([seq], ids, interpret=True))
+    check_float(p, np.asarray(data) * 2.0, tol=0, msg="padded explicit path")

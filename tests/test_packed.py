@@ -105,6 +105,8 @@ def test_packed_pallas_interpret_parity(rng):
     a = np.asarray(cvgs.execute_operations(*ops(), backend=cvgs.ParBackend.XLA))
     b = np.asarray(cvgs.execute_operations(
         *ops(), backend=cvgs.ParBackend.PALLAS_INTERPRET))
+    from conftest import assert_backend
+    assert_backend("pallas:batch_resize:interpret")
     check_float(b, a, tol=0, msg="packed interpret == xla")
 
 

@@ -16,7 +16,7 @@ import pytest
 
 import cvgpuspeedup_tpu as cvgs
 from cvgpuspeedup_tpu.exec import pallas_backend
-from conftest import check_exact, check_float
+from conftest import assert_backend, check_exact, check_float
 
 UP = (64, 128)
 
@@ -32,6 +32,7 @@ def _rects(batch, cw=60, ch=120):
 def _both(ops):
     x = np.asarray(cvgs.execute_operations(*ops, backend=cvgs.ParBackend.XLA))
     p = np.asarray(cvgs.execute_operations(*ops, backend=cvgs.ParBackend.PALLAS_INTERPRET))
+    assert_backend("pallas:batch_resize:interpret")
     return x, p
 
 
@@ -134,6 +135,7 @@ def test_split_write_parity(rng):
     ]
     x = cvgs.execute_operations(*ops, backend=cvgs.ParBackend.XLA)
     p = cvgs.execute_operations(*ops, backend=cvgs.ParBackend.PALLAS_INTERPRET)
+    assert_backend("pallas:batch_resize:interpret")
     assert isinstance(p, (tuple, list)) and len(p) == 3
     for c in range(3):
         check_float(np.asarray(p[c]), np.asarray(x[c]), msg=f"split ch{c}")
@@ -148,6 +150,7 @@ def test_unsupported_falls_back(rng):
     ops = [cvgs.warp(frame, m, cvgs.Size(64, 64))]
     x = np.asarray(cvgs.execute_operations(*ops, backend=cvgs.ParBackend.XLA))
     p = np.asarray(cvgs.execute_operations(*ops, backend=cvgs.ParBackend.PALLAS_INTERPRET))
+    assert_backend("xla")
     check_float(p, x, tol=0, msg="fallback identical")
 
 
@@ -177,6 +180,7 @@ def test_chain_with_alpha_add_parity(rng):
     ]
     x = np.asarray(cvgs.execute_operations(*ops(), backend=cvgs.ParBackend.XLA))
     p = np.asarray(cvgs.execute_operations(*ops(), backend=cvgs.ParBackend.PALLAS_INTERPRET))
+    assert_backend("pallas:batch_resize:interpret")
     assert p.shape == (3, 4, UP[1], UP[0])
     assert np.all(np.asarray(p)[:, 3] == 255)
     check_exact(p, x, "alpha-append chain parity")
@@ -200,6 +204,7 @@ def test_packed_split_parity(rng):
     planar = run(cvgs.split_tensor(), cvgs.ParBackend.XLA)
     packed_x = run(cvgs.split_tensor_packed(), cvgs.ParBackend.XLA)
     packed_p = run(cvgs.split_tensor_packed(), cvgs.ParBackend.PALLAS_INTERPRET)
+    assert_backend("pallas:batch_resize:interpret")
     assert packed_x.shape == (8, 3, 64, 128)
     # packed reshaped row-major == planar
     assert np.array_equal(packed_x.reshape(8, 3, 128, 64), planar)
@@ -222,6 +227,7 @@ def test_packed_split_ragged_letterbox(rng):
 
     planar = run(cvgs.split_tensor(), cvgs.ParBackend.XLA)
     packed_p = run(cvgs.split_tensor_packed(), cvgs.ParBackend.PALLAS_INTERPRET)
+    assert_backend("pallas:batch_resize:interpret")
     # letterbox geometry is the non-bf16-exact regime: matmul-vs-lerp product
     # rounding may differ ~1 ulp (the standard float contract applies)
     check_float(packed_p.reshape(6, 3, 128, 64), planar, msg="packed letterbox")

@@ -19,10 +19,13 @@ from conftest import check_float
 
 
 def _both(ops):
+    from conftest import assert_backend
+
     x = np.asarray(cvgs.execute_operations(*ops, backend=cvgs.ParBackend.XLA))
     p = np.asarray(
         cvgs.execute_operations(*ops, backend=cvgs.ParBackend.PALLAS_INTERPRET)
     )
+    assert_backend("pallas:frame:interpret")
     return x, p
 
 
@@ -133,6 +136,8 @@ def test_split_write_layout(rng):
     assert _supported(ops)
     x = cvgs.execute_operations(*ops, backend=cvgs.ParBackend.XLA)
     p = cvgs.execute_operations(*ops, backend=cvgs.ParBackend.PALLAS_INTERPRET)
+    from conftest import assert_backend
+    assert_backend("pallas:frame:interpret")
     assert len(x) == len(p) == 3
     for xc, pc in zip(x, p):
         np.testing.assert_array_equal(np.asarray(xc), np.asarray(pc))

@@ -155,11 +155,14 @@ def test_warp_batch_factory(rng):
 # --- Pallas warp kernel (separable affine; exec/pallas_warp.py) -----------
 
 
-def _warp_both(ops):
+def _warp_both(ops, emitter="pallas:warp:interpret"):
+    from conftest import assert_backend
+
     x = np.asarray(cvgs.execute_operations(*ops, backend=cvgs.ParBackend.XLA))
     p = np.asarray(
         cvgs.execute_operations(*ops, backend=cvgs.ParBackend.PALLAS_INTERPRET)
     )
+    assert_backend(emitter)
     return x, p
 
 
@@ -238,7 +241,8 @@ def test_pallas_warp_fallbacks(rng):
     )
     assert not pallas_warp.supports(pipe2)
     # and the interpret backend still runs them (XLA fallback, same numbers)
-    x, p = _warp_both([cvgs.warp(img, rot, cvgs.Size(96, 64)), cvgs.split_tensor()])
+    x, p = _warp_both([cvgs.warp(img, rot, cvgs.Size(96, 64)), cvgs.split_tensor()],
+                      emitter="xla")
     check_float(p, x, tol=0, msg="rotation fallback identical")
 
 
