@@ -486,10 +486,21 @@ def warp_batch(
     out-of-source samples; ``default`` fills planes beyond ``used_planes``."""
     if len(sources) != len(matrices):
         raise ValueError("need one matrix per source image")
-    warps = [
-        warp(s, m, dsize, warp_type=warp_type, default=border_value)
-        for s, m in zip(sources, matrices)
-    ]
+    from dataclasses import replace as _dc_replace
+
+    from .exec.pallas_warp_universal import universal_buckets
+
+    warps = []
+    for s, m in zip(sources, matrices):
+        wr = warp(s, m, dsize, warp_type=warp_type, default=border_value)
+        if wr.uni_buckets is None:
+            # the single-image factory only computes universal buckets when
+            # the separable/general kernels rejected the map; the BATCHED
+            # kernel is the universal one, so every plane needs them (the
+            # batch kernel sizes its static tiles by the batch-max buckets)
+            inv = np.asarray(wr.coeffs, np.float64).reshape(-1, 3)
+            wr = _dc_replace(wr, uni_buckets=universal_buckets(inv, dsize))
+        warps.append(wr)
     return batch_read(
         warps,
         used_planes=used_planes,

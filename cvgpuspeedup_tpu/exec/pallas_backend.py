@@ -83,6 +83,13 @@ _RING_SLOTS = 2
 #: does not appear to interleave across pl.when regions), so the proven
 #: plain schedule is the default; the knob stays for benchmark A/Bs.
 _PIPELINE_SCHEDULE = False
+#: baked exact-bf16 schedule order: "vfirst" (per-plane V dots, then ONE
+#: group-batched Dekker H dot — K doubles on the BIG dot) or "hfirst" (ONE
+#: group-batched H dot straight on the u8-exact bf16 windows — no Dekker,
+#: half the K — then per-plane Dekker V dots). hfirst moves the Dekker
+#: K-doubling from the 94M-MAC group dot to the 31M-MAC plane dots:
+#: ~126M -> ~110M MACs/step on the flagship. Both are bit-exact.
+_SCHEDULE = "vfirst"
 _RING_BUDGET = 3 * 1024 * 1024  # window-ring VMEM cap (bounds group_p)
 #: benchmark-only kernel ablation (None = real kernel): "floor" = DMA +
 #: trivial write only; "nomassage" = skip the rotate; "nochain" = skip the
@@ -629,7 +636,18 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
         # the kernel never casts the big matrices per plane and the
         # once-per-launch fetch halves. The H matrix is K-duplicated for the
         # Dekker [t_hi | t_lo] lhs of the group-batched horizontal dot.
-        if exact_bf16:
+        if exact_bf16 and _SCHEDULE == "hfirst":
+            # H-first baked schedule: the group-batched dot is the H pass on
+            # the u8-exact bf16 windows (single wh, NO K-dup); the Dekker
+            # K-dup rides the per-plane V matrices instead
+            weight_consts = (
+                jnp.asarray(
+                    np.concatenate([wv_const, wv_const], axis=2), jnp.bfloat16
+                ),
+                jnp.asarray(wh_const, jnp.bfloat16),
+                (new_w_c, new_h_c, ox_c, oy_c),
+            )
+        elif exact_bf16:
             weight_consts = (
                 jnp.asarray(wv_const, jnp.bfloat16),
                 jnp.asarray(
@@ -704,7 +722,8 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
     # decision so the scratch list and the kernel branch agree.
     # _PIPELINE_SCHEDULE is a bench A/B knob (both schedules are exact).
     use_pipe = (_PIPELINE_SCHEDULE and exact_bf16
-                and weight_consts is not None and steps > 1)
+                and weight_consts is not None and steps > 1
+                and _SCHEDULE == "vfirst")
     ring_slots = 3 if use_pipe else _RING_SLOTS
 
     def kernel(rects_ref, used_ref, fp_ref, src_ref, *rest):
@@ -1052,6 +1071,82 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
                 _finish_plane(m["z"], j, vals_k, m["row_ins"],
                               m["new_w"], m["ox"], chain_k)
 
+        def group_hfirst():
+            """H-FIRST baked schedule (bit-exact, see _SCHEDULE): widen all
+            windows to u8-exact bf16, run ONE group-batched H dot against the
+            single (non-duplicated) wh — every lhs value is bf16-exact, so no
+            Dekker and half the K of the vfirst group dot — then split the
+            exact 16-bit-significand intermediate ONCE at group level and run
+            per-plane V dots with the K-duplicated [wv | wv] lhs against
+            [tmp_hi; tmp_lo] (the proven Dekker pattern of the non-uniform
+            plane_body path)."""
+            new_w, new_h, ox, oy = weight_consts[2]
+            hf = h_out // f_pack
+            row_ins = []
+            for k in range(f_pack):
+                row = (
+                    jax.lax.broadcasted_iota(jnp.int32, (hf, 1), 0)
+                    * f_pack + k
+                )
+                row_ins.append(
+                    ((row - oy >= 0) & (row - oy < new_h)).astype(jnp.float32)
+                )
+            wins = []
+            dys = []
+            for j in range(group_p):
+                z = s * group_p + j
+                slot = (s % n_slots) * group_p + j
+                y0 = rect_of(z, 1)
+                x0 = rect_of(z, 0)
+                if frame_mode:
+                    dy = y0 - jnp.minimum((y0 // 8) * 8, src_h - win_h)
+                    dlanes = x0 * nch - jnp.minimum(
+                        ((x0 * nch) // 128) * 128, src_lanes - lanes
+                    )
+                else:
+                    dy = jnp.int32(0)
+                    dlanes = jnp.int32(0)
+                dys.append(dy)
+                win = _rot_core(slot, dlanes)
+                # u8 -> bf16 exact (values <= 255); no direct u8->bf16 in
+                # Mosaic, widen via i32
+                wins.append(win.astype(jnp.int32).astype(jnp.bfloat16))
+            w_all = wins[0] if group_p == 1 else jnp.concatenate(wins, axis=0)
+            if _ABLATION == "noh":  # bisection: skip the group H dot
+                tmp_all = w_all[:, : nch * w_out].astype(jnp.float32)
+            else:
+                tmp_all = jax.lax.dot_general(
+                    w_all, wh_ref[...], (((1,), (0,)), ((), ())),
+                    precision=_DEFAULT, preferred_element_type=jnp.float32,
+                )  # (group_p*win_h, C*W_out), exact (u8 x num/2^k weights)
+            t_hi = tmp_all.astype(jnp.bfloat16)
+            t_lo = (
+                None if _ABLATION == "nodekker"
+                else (tmp_all - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            )
+            for j in range(group_p):
+                z = s * group_p + j
+                wv_lhs = wv_ref[dys[j]] if frame_mode else wv_ref[0]
+                hi = t_hi[j * win_h : (j + 1) * win_h]
+                if t_lo is None:
+                    lhs, rhs = wv_lhs[:, :win_h], hi
+                else:
+                    lhs = wv_lhs  # (h_out, 2*win_h), baked [wv | wv]
+                    rhs = jnp.concatenate(
+                        [hi, t_lo[j * win_h : (j + 1) * win_h]], axis=0
+                    )
+                if _ABLATION == "nov":  # bisection: skip the V dots
+                    vals_all = rhs[:h_out].astype(jnp.float32)
+                else:
+                    vals_all = jax.lax.dot_general(
+                        lhs, rhs, (((1,), (0,)), ((), ())),
+                        precision=_DEFAULT,
+                        preferred_element_type=jnp.float32,
+                    )  # (h_out, C*W_out), phase-stacked rows
+                vals_k = [vals_all[k * hf : (k + 1) * hf]
+                          for k in range(f_pack)]
+                _finish_plane(z, j, vals_k, row_ins, new_w, ox, chain_k)
+
         if use_pipe and _ABLATION != "floor":
             # SOFTWARE-PIPELINED baked schedule: stage1 of step s+1 (massage
             # rolls + per-plane V dots — VPU-heavy, ~3 us/batch exposed in
@@ -1128,7 +1223,14 @@ def _emit_batch_resize(pipeline, *, interpret: bool):
             # us/batch)
             for j in range(group_p):
                 plane_dma(s * group_p + j, (s % n_slots) * group_p + j).wait()
-            if exact_bf16 and weight_consts is not None:
+            if (exact_bf16 and weight_consts is not None
+                    and _SCHEDULE == "hfirst"):
+                if _ABLATION == "floor":
+                    for j in range(group_p):
+                        _floor_write((s % n_slots) * group_p + j, j)
+                else:
+                    group_hfirst()
+            elif exact_bf16 and weight_consts is not None:
                 # baked exact schedule: per-plane vertical dots, then ONE
                 # group-batched horizontal dot (M = group_p*h_out)
                 metas = [

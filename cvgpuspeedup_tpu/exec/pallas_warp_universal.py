@@ -53,7 +53,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ops.memory import ImageRead, SplitWrite, TensorSplit
+from ..ops.memory import BatchRead, ImageRead, SplitWrite, TensorSplit
 from ..ops.warp import WarpRead, WarpType
 from ..utils import dtypes as dt
 from .pallas_backend import _ScalarVec, _apply_chain_planar, _chain_out_struct
@@ -108,16 +108,9 @@ def _divisors(n: int):
     return [k for k in range(1, n + 1) if n % k == 0]
 
 
-def _plan(pipeline) -> Optional[dict]:
-    read = pipeline.read
-    if not isinstance(read, WarpRead):
-        return None
-    if getattr(read, "uni_buckets", None) is None:
-        return None
-    src_op = read.source
+def _src_geometry(src_op) -> Optional[tuple]:
+    """(src_h, src_w, nch, src_lanes) of a supported u8 ImageRead source."""
     if not isinstance(src_op, ImageRead) or src_op.is_batch:
-        return None
-    if not isinstance(pipeline.write, (TensorSplit, SplitWrite)):
         return None
     src = src_op.data
     pc = src_op.packed_channels
@@ -134,9 +127,10 @@ def _plan(pipeline) -> Optional[dict]:
         return None
     if not dt.is_integer(src.dtype) or jnp.dtype(src.dtype).itemsize != 1:
         return None  # exact one-hot bf16 gathers need <=8-bit sources
-    dst_w, dst_h = read.dsize.width, read.dsize.height
-    persp, bx_x, bx_y, by_x, by_y = read.uni_buckets
+    return src_h, src_w, nch, src_lanes
 
+
+def _chain_ok(pipeline, nch) -> Optional[tuple]:
     try:
         out_ch, out_dtype = _chain_out_struct(pipeline.compute, nch)
     except (NotImplementedError, ValueError):
@@ -149,7 +143,45 @@ def _plan(pipeline) -> Optional[dict]:
             return None
         if jnp.result_type(leaf) != jnp.float32:
             return None
+    return out_ch, out_dtype
 
+
+def _plan(pipeline) -> Optional[dict]:
+    read = pipeline.read
+    if isinstance(read, BatchRead):
+        return _plan_batch(pipeline)
+    if not isinstance(read, WarpRead):
+        return None
+    if getattr(read, "uni_buckets", None) is None:
+        return None
+    if not isinstance(pipeline.write, (TensorSplit, SplitWrite)):
+        return None
+    geom = _src_geometry(read.source)
+    if geom is None:
+        return None
+    src_h, src_w, nch, src_lanes = geom
+    src = read.source.data
+    dst_w, dst_h = read.dsize.width, read.dsize.height
+    persp, bx_x, bx_y, by_x, by_y = read.uni_buckets
+
+    co = _chain_ok(pipeline, nch)
+    if co is None:
+        return None
+    out_ch, out_dtype = co
+
+    best = _rt_search(persp, bx_x, bx_y, by_x, by_y, nch, src_h, src_lanes,
+                      dst_w, dst_h, out_ch)
+    if best is None:
+        return None
+    best.update(src_h=src_h, src_w=src_w, nch=nch, src_lanes=src_lanes,
+                dst_w=dst_w, dst_h=dst_h, out_ch=out_ch, persp=persp,
+                out_dtype=jnp.dtype(out_dtype), src_dtype=jnp.dtype(src.dtype))
+    return best
+
+
+def _rt_search(persp, bx_x, bx_y, by_x, by_y, nch, src_h, src_lanes,
+               dst_w, dst_h, out_ch) -> Optional[dict]:
+    """Pick the (R, T) tile shape minimizing the calibrated cost model."""
     best = None
     for R in (8, 16, 24, 32):
         # R need not divide dst_h: the last band is RAGGED (output rows
@@ -165,7 +197,14 @@ def _plan(pipeline) -> Optional[dict]:
                 continue
             if not 32 <= nch * T <= 768:
                 continue
-            s_v = math.ceil(by_x * (T - 1)) + 3
+            # +5: +3 tap/floor slack (as before) + 2 for the kb DOWN-BIAS —
+            # sy is monotonic along a row so the endpoint min bounds it in
+            # REAL arithmetic, but f32 evaluation of an interior element can
+            # round 1 ulp BELOW both rounded endpoints (seen: interior
+            # 94.99999 vs endpoints 95.0), which made s_sel = -1 and every
+            # candidate mask miss (silent border value). kb is biased -1 in
+            # the kernel; the extra candidates keep the top margin.
+            s_v = math.ceil(by_x * (T - 1)) + 5
             if s_v > _MAX_SV:
                 continue
             k_rows = -(-(int(math.ceil(by_y * (R - 1) + by_x * (T - 1))) + 6)
@@ -211,11 +250,71 @@ def _plan(pipeline) -> Optional[dict]:
                 best = dict(R=R, T=T, K=k_rows, L=lanes, S_v=s_v, S_h=s_h,
                             OFF=off, n_bands=n_bands, n_strips=n_strips,
                             cost=cost)
+    return best
+
+
+def _plan_batch(pipeline) -> Optional[dict]:
+    """Batched warp: a ``BatchRead`` of N WarpReads with per-image matrices
+    (the reference's ``cvGS::warp<WT, I, BATCH>`` overloads,
+    ``include/cvGPUSpeedup.cuh:381-442``, incl. the ragged
+    ``usedPlanes`` + default form). ONE kernel launch: the static tile
+    geometry is sized by the BATCH-MAX derivative buckets (so any set of
+    matrices within the same maxed buckets reuses the compiled kernel), and
+    per-plane matrices/windows ride the scalar-prefetch arrays."""
+    read = pipeline.read
+    subs = read.ops
+    if not subs:
+        return None
+    if not isinstance(pipeline.write, (TensorSplit, SplitWrite)):
+        return None
+    w0 = subs[0]
+    if not isinstance(w0, WarpRead):
+        return None
+    geom0 = None
+    buckets = []
+    for wr in subs:
+        if not isinstance(wr, WarpRead):
+            return None
+        if wr.warp_type != w0.warp_type or wr.dsize != w0.dsize:
+            return None
+        if getattr(wr, "uni_buckets", None) is None:
+            return None
+        g = _src_geometry(wr.source)
+        if g is None:
+            return None
+        if geom0 is None:
+            geom0 = g
+        elif g != geom0:
+            return None  # uniform source geometry only (reference: array of
+            # same-size planes, tests/warping/test_warping_opencv.cu:157-247)
+        if jnp.dtype(wr.source.data.dtype) != jnp.dtype(subs[0].source.data.dtype):
+            return None
+        buckets.append(wr.uni_buckets)
+    persp = buckets[0][0]
+    if any(b[0] != persp for b in buckets):
+        return None
+    src_h, src_w, nch, src_lanes = geom0
+    dst_w, dst_h = w0.dsize.width, w0.dsize.height
+    # batch-max buckets: every plane's candidates fit the maxed S_v/S_h/K/L
+    bx_x = max(b[1] for b in buckets)
+    bx_y = max(b[2] for b in buckets)
+    by_x = max(b[3] for b in buckets)
+    by_y = max(b[4] for b in buckets)
+
+    co = _chain_ok(pipeline, nch)
+    if co is None:
+        return None
+    out_ch, out_dtype = co
+
+    best = _rt_search(persp, bx_x, bx_y, by_x, by_y, nch, src_h, src_lanes,
+                      dst_w, dst_h, out_ch)
     if best is None:
         return None
     best.update(src_h=src_h, src_w=src_w, nch=nch, src_lanes=src_lanes,
                 dst_w=dst_w, dst_h=dst_h, out_ch=out_ch, persp=persp,
-                out_dtype=jnp.dtype(out_dtype), src_dtype=jnp.dtype(src.dtype))
+                out_dtype=jnp.dtype(out_dtype),
+                src_dtype=jnp.dtype(subs[0].source.data.dtype),
+                n_pl=len(subs))
     return best
 
 
@@ -229,19 +328,22 @@ def profitable(pipeline) -> bool:
     plan = _plan(pipeline)
     if plan is None:
         return False
-    out_px = plan["dst_w"] * plan["dst_h"]
+    n_pl = plan.get("n_pl", 1)
+    out_px = plan["dst_w"] * plan["dst_h"] * n_pl
     # ~8 ms/Mpx = 8 ns/px (same figure as pallas_warp_general.profitable);
     # the cost model is in ns, so the comparison must be too — an 8_000
     # factor here made the gate vacuous and routed worst-in-bucket plans
     # (large S_v/S_h) to the kernel even where the model predicts XLA wins
     xla_ns = out_px * 8
-    return out_px >= 64 * 64 and plan["cost"] < 0.6 * xla_ns
+    return out_px >= 64 * 64 and plan["cost"] * n_pl < 0.6 * xla_ns
 
 
 def try_lower(pipeline, *, interpret: bool = False):
     plan = _plan(pipeline)
     if plan is None:
         return None
+    if "n_pl" in plan:
+        return _emit_batch(pipeline, plan, interpret=interpret)
     return _emit(pipeline, plan, interpret=interpret)
 
 
@@ -473,7 +575,7 @@ def _emit(pipeline, plan: dict, *, interpret: bool):
             xrf = xlf + np.float32(T - 1)
             _, sy_l = coords(xlf, rf_col)
             _, sy_r = coords(xrf, rf_col)
-            kb_col = jnp.floor(jnp.minimum(sy_l, sy_r)).astype(jnp.int32)
+            kb_col = jnp.floor(jnp.minimum(sy_l, sy_r)).astype(jnp.int32) - 1
             kk = jnp.clip(kb_col - wy0_t + s_of, 0, K - 1)
             kcol = jax.lax.broadcasted_iota(jnp.int32, (S_v * R, K), 1)
             gv = (kcol == kk).astype(jnp.bfloat16)
@@ -506,7 +608,7 @@ def _emit(pipeline, plan: dict, *, interpret: bool):
             _, sy_lo = coords(jnp.full_like(rf, x0.astype(jnp.float32)), rf)
             _, sy_ro = coords(jnp.full_like(rf, (x0 + T - 1).astype(jnp.float32)),
                               rf)
-            kb_o = jnp.floor(jnp.minimum(sy_lo, sy_ro)).astype(jnp.int32)  # (R,1)
+            kb_o = jnp.floor(jnp.minimum(sy_lo, sy_ro)).astype(jnp.int32) - 1  # (R,1)
             s_sel = iyi - kb_o  # in [0, S_v-2] by sizing
 
             # ---- double select: 4 exact taps per element ----
@@ -581,3 +683,390 @@ def _emit(pipeline, plan: dict, *, interpret: bool):
     if isinstance(write, TensorSplit):
         return full
     return tuple(full[ci] for ci in range(out_ch))
+
+
+def _emit_batch(pipeline, plan: dict, *, interpret: bool):
+    """Batched variant of :func:`_emit`: grid gains a leading PLANE axis,
+    per-plane inverse matrices / borders ride the f32 prefetch array, tile
+    window starts are baked per (plane, strip, band), and the ragged
+    ``used_planes`` + default of ``BatchRead<CONDITIONAL_WITH_DEFAULT>``
+    masks whole planes before the compute chain (reference
+    ``include/cvGPUSpeedup.cuh:381-442``,
+    ``tests/warping/test_warping_opencv.cu:157-247``). The per-tile body is
+    the same double-select one-hot gather pipeline as the single-plane
+    kernel — only the coefficient/border fetch is plane-indexed."""
+    read: BatchRead = pipeline.read
+    subs = read.ops
+    chain = pipeline.compute
+    write = pipeline.write
+    n_pl = plan["n_pl"]
+    nch = plan["nch"]
+    src_h, src_w = plan["src_h"], plan["src_w"]
+    src_lanes = plan["src_lanes"]
+    R, T = plan["R"], plan["T"]
+    K, L = plan["K"], plan["L"]
+    S_v, S_h, OFF = plan["S_v"], plan["S_h"], plan["OFF"]
+    n_bands, n_strips = plan["n_bands"], plan["n_strips"]
+    n_tiles = n_bands * n_strips
+    dst_w, dst_h = plan["dst_w"], plan["dst_h"]
+    out_ch, out_dtype = plan["out_ch"], plan["out_dtype"]
+    persp = plan["persp"]
+    tn = nch * T
+    ch_cols = (S_h + 1) * tn
+    n_cf = 9 if persp else 6
+
+    def _as2d(wr):
+        s = wr.source.data
+        if wr.source.packed_channels or s.ndim == 2:
+            return jnp.asarray(s)
+        return jnp.reshape(jnp.asarray(s), (src_h, src_lanes))
+
+    srcs2d = [_as2d(wr) for wr in subs]
+
+    concrete = not any(isinstance(wr.coeffs, jax.core.Tracer) for wr in subs)
+
+    def _corners(xp, rp, cfv, m):
+        if persp:
+            A, B, C, D, E, F, G, Hc, I = (cfv[i] for i in range(9))
+        else:
+            A, B, C, D, E, F = (cfv[i] for i in range(6))
+        xs = xp[:, None]
+        ysv = rp[None, :]
+        sx = A * xs + (B * ysv + C)
+        sy = D * xs + (E * ysv + F)
+        if persp:
+            den = G * xs + (Hc * ysv + I)
+            den = m.where(den == 0.0, m.float32(1.0) if m is np else
+                          jnp.float32(1.0), den)
+            sx = sx / den
+            sy = sy / den
+        return sx, sy
+
+    # ---- per-(plane, tile) window starts; layout (plane, strip, band, 2)
+    # flattened 1-D (2-D SMEM prefetch arrays row-pad to 512 B/row) ----
+    def _plane_params(cfv, m):
+        r0f = (m.arange(n_bands) * R).astype(m.float32)
+        x0f = (m.arange(n_strips) * T).astype(m.float32)
+        if m is np:
+            xc = np.stack([x0f, x0f + np.float32(T - 1)])
+            rc = np.stack([r0f, np.minimum(r0f + np.float32(R - 1),
+                                           np.float32(dst_h - 1))])
+            sxs, sys_ = [], []
+            for i in range(2):
+                sx, sy = _corners(xc[i], rc.reshape(-1), cfv, np)
+                sxs.append(sx.reshape(n_strips, 2, n_bands))
+                sys_.append(sy.reshape(n_strips, 2, n_bands))
+            sx_min = np.minimum(sxs[0], sxs[1]).min(axis=1)
+            sy_min = np.minimum(sys_[0], sys_[1]).min(axis=1)
+            wy0 = np.clip(((np.floor(sy_min).astype(np.int64) - 2) // 8) * 8,
+                          0, src_h - K).astype(np.int32)
+            anchor = np.floor(sx_min).astype(np.int64) - OFF - 2
+            wl0 = np.clip(((anchor * nch) // 128) * 128,
+                          0, src_lanes - L).astype(np.int32)
+            return np.stack([wy0, wl0], axis=-1)
+        rall = jnp.concatenate([
+            r0f, jnp.minimum(r0f + np.float32(R - 1), np.float32(dst_h - 1))])
+        sxs, sys_ = [], []
+        for xv in (x0f, x0f + np.float32(T - 1)):
+            sx, sy = _corners(xv, rall, cfv, jnp)
+            sxs.append(jnp.minimum(sx[:, :n_bands], sx[:, n_bands:]))
+            sys_.append(jnp.minimum(sy[:, :n_bands], sy[:, n_bands:]))
+        sx_min = jnp.minimum(sxs[0], sxs[1])
+        sy_min = jnp.minimum(sys_[0], sys_[1])
+        wy0 = jnp.clip(((jnp.floor(sy_min).astype(jnp.int32) - 2) // 8) * 8,
+                       0, src_h - K)
+        anchor = jnp.floor(sx_min).astype(jnp.int32) - OFF - 2
+        wl0 = jnp.clip(((anchor * nch) // 128) * 128, 0, src_lanes - L)
+        return jnp.stack([wy0, wl0], axis=-1)
+
+    used = read.used_planes
+    if concrete and not isinstance(used, jax.core.Tracer):
+        pp = np.stack([
+            _plane_params(np.asarray(wr.coeffs, np.float32), np) for wr in subs
+        ])
+        used_v = np.int32(n_pl if used is None else int(np.asarray(used)))
+        tile_params = np.concatenate(
+            [pp.reshape(n_pl * n_tiles * 2), used_v.reshape(1)]
+        ).astype(np.int32)
+    else:
+        pp = jnp.stack([
+            _plane_params(jnp.asarray(wr.coeffs, jnp.float32), jnp)
+            for wr in subs
+        ])
+        used_v = (jnp.int32(n_pl) if used is None
+                  else jnp.asarray(used, jnp.int32))
+        tile_params = jnp.concatenate(
+            [pp.reshape(n_pl * n_tiles * 2), used_v.reshape(1)]
+        )
+
+    # ---- f32 prefetch: [coeffs x N | borders x N | ragged default | chain
+    # leaves | opaque zero] ----
+    chain_leaves, chain_def = jax.tree_util.tree_flatten(tuple(chain))
+    leaf_shapes = [jnp.shape(l) for l in chain_leaves]
+    leaf_sizes = [1 if shp == () else int(shp[0]) for shp in leaf_shapes]
+    base = n_cf * n_pl + nch * n_pl + nch
+    leaf_offsets = list(np.cumsum([base] + leaf_sizes))[:-1]
+    rag_default = read.default
+    all_concrete = concrete and not any(
+        isinstance(l, jax.core.Tracer)
+        for l in ([rag_default] if rag_default is not None else [])
+        + [wr.default for wr in subs] + list(chain_leaves)
+    )
+    m = np if all_concrete else jnp
+    asarr = (lambda l: np.asarray(l, np.float32)) if all_concrete else (
+        lambda l: jnp.asarray(l, jnp.float32))
+
+    def _chvec(v):
+        v = asarr(v).reshape(-1)
+        if int(v.shape[0]) == nch:
+            return v
+        return m.broadcast_to(v.reshape(1)[:1], (nch,))
+
+    fparams = m.concatenate(
+        [asarr(wr.coeffs).reshape(n_cf) for wr in subs]
+        + [_chvec(wr.default) for wr in subs]
+        + [_chvec(rag_default if rag_default is not None else 0.0)]
+        + [asarr(l).reshape(-1) for l in chain_leaves]
+        + [asarr(np.zeros(1, np.float32))]
+    )
+    n_fp = base + sum(leaf_sizes) + 1
+
+    pad_h = n_bands * R
+    G_P = 2 if n_bands % 2 == 0 else 1
+    n_groups = n_bands // G_P
+    out_shape = jax.ShapeDtypeStruct(
+        (n_pl, n_strips, out_ch, pad_h, T), out_dtype)
+    out_specs = pl.BlockSpec((1, 1, out_ch, G_P * R, T),
+                             lambda p, js, ibg, *_: (p, js, 0, ibg, 0))
+    n_steps = n_pl * n_strips * n_groups
+
+    def kernel(tp_ref, fp_ref, *rest):
+        src_refs = rest[:n_pl]
+        out_ref = rest[n_pl]
+        window, sem = rest[n_pl + 1], rest[n_pl + 2]
+        p = pl.program_id(0)
+        js = pl.program_id(1)
+        ibg = pl.program_id(2)
+        st = (p * n_strips + js) * n_groups + ibg
+
+        coff = p * n_cf
+        if persp:
+            A, B, C = fp_ref[coff], fp_ref[coff + 1], fp_ref[coff + 2]
+            D, E, F = fp_ref[coff + 3], fp_ref[coff + 4], fp_ref[coff + 5]
+            Gc, Hc, Ic = fp_ref[coff + 6], fp_ref[coff + 7], fp_ref[coff + 8]
+        else:
+            A, B, C = fp_ref[coff], fp_ref[coff + 1], fp_ref[coff + 2]
+            D, E, F = fp_ref[coff + 3], fp_ref[coff + 4], fp_ref[coff + 5]
+
+        leaf_vals = []
+        for shp, size, offp in zip(leaf_shapes, leaf_sizes, leaf_offsets):
+            if shp == ():
+                leaf_vals.append(fp_ref[int(offp)])
+            else:
+                leaf_vals.append(
+                    _ScalarVec(fp_ref[int(offp) + i] for i in range(size))
+                )
+        chain_k = jax.tree_util.tree_unflatten(chain_def, leaf_vals)
+        kmul = lambda x, y: _rmul(x, y, fp_ref[n_fp - 1])
+
+        def coords(xf, rf):
+            sx = kmul(A, xf) + (kmul(B, rf) + C)
+            sy = kmul(D, xf) + (kmul(E, rf) + F)
+            if persp:
+                den = kmul(Gc, xf) + (kmul(Hc, rf) + Ic)
+                den = jnp.where(den == 0.0, jnp.float32(1.0), den)
+                sx = sx / den
+                sy = sy / den
+            return sx, sy
+
+        def tile_flat(stp, g):
+            # (plane*strips + strip) * n_bands + band, bands G_P-grouped
+            return ((stp // n_groups) * n_bands
+                    + (stp % n_groups) * G_P + g)
+
+        def start_dma(stp, g, slot):
+            ft = tile_flat(stp, g)
+            rows = pl.ds(pl.multiple_of(tp_ref[ft * 2], 8), K)
+            lanes_s = pl.ds(pl.multiple_of(tp_ref[ft * 2 + 1], 128), L)
+            qq = stp // (n_strips * n_groups)
+            for q in range(n_pl):
+                @pl.when(qq == q)
+                def _(q=q):
+                    pltpu.make_async_copy(
+                        src_refs[q].at[rows, lanes_s],
+                        window.at[slot], sem.at[slot],
+                    ).start()
+
+        @pl.when(st == 0)
+        def _():
+            for g in range(G_P):
+                start_dma(st, g, g)
+
+        @pl.when(st + 1 < n_steps)
+        def _():
+            for g in range(G_P):
+                start_dma(st + 1, g, ((st + 1) % 2) * G_P + g)
+
+        for g in range(G_P):
+            # every plane's copy has identical geometry: one shared wait
+            # descriptor (src ref identity does not enter the semaphore wait)
+            ft = tile_flat(st, g)
+            pltpu.make_async_copy(
+                src_refs[0].at[
+                    pl.ds(pl.multiple_of(tp_ref[ft * 2], 8), K),
+                    pl.ds(pl.multiple_of(tp_ref[ft * 2 + 1], 128), L),
+                ],
+                window.at[(st % 2) * G_P + g], sem.at[(st % 2) * G_P + g],
+            ).wait()
+
+        x0 = js * T
+        used_s = tp_ref[n_pl * n_tiles * 2]
+        active = (p < used_s).astype(jnp.float32)
+
+        def _run_tile(g, wy0_t, wl0_t, r0, r0f):
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, ch_cols), 1)
+            hp = col // tn
+            rem = col % tn
+            cch = rem // T
+            xr = rem % T
+            xf_c = (x0 + xr).astype(jnp.float32)
+            sx_top, _ = coords(xf_c, r0f)
+            stair_c = jnp.floor(sx_top).astype(jnp.int32)
+            lane_t = (stair_c - OFF + hp) * nch + cch - wl0_t
+            lrow = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+            gmat = (lrow == lane_t).astype(jnp.bfloat16)
+
+            win = window[(st % 2) * G_P + g].astype(jnp.int32).astype(
+                jnp.bfloat16)
+            dn = (((1,), (0,)), ((), ()))
+            d_raw = jax.lax.dot_general(
+                win, gmat, dn, precision=_DEFAULT,
+                preferred_element_type=jnp.float32,
+            )  # (K, ch_cols)
+
+            rowid = jax.lax.broadcasted_iota(jnp.int32, (S_v * R, 1), 0)
+            s_of = rowid // R
+            r_of = rowid % R
+            rf_col = (r0 + r_of).astype(jnp.float32)
+            xlf = jnp.full_like(rf_col, x0.astype(jnp.float32))
+            xrf = xlf + np.float32(T - 1)
+            _, sy_l = coords(xlf, rf_col)
+            _, sy_r = coords(xrf, rf_col)
+            kb_col = jnp.floor(jnp.minimum(sy_l, sy_r)).astype(jnp.int32) - 1
+            kk = jnp.clip(kb_col - wy0_t + s_of, 0, K - 1)
+            kcol = jax.lax.broadcasted_iota(jnp.int32, (S_v * R, K), 1)
+            gv = (kcol == kk).astype(jnp.bfloat16)
+            d_all = jax.lax.dot_general(
+                gv, d_raw, dn, precision=_DEFAULT,
+                preferred_element_type=jnp.float32,
+            )  # (S_v*R, ch_cols)
+
+            colo = jax.lax.broadcasted_iota(jnp.int32, (1, tn), 1)
+            ccho = colo // T
+            xro = colo % T
+            xfo = (x0 + xro).astype(jnp.float32)
+            rf = (r0 + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)).astype(
+                jnp.float32)
+            sx_o, sy_o = coords(xfo, rf)
+            ixf = jnp.floor(sx_o)
+            fx = sx_o - ixf
+            ixi = ixf.astype(jnp.int32)
+            iyf = jnp.floor(sy_o)
+            fy = sy_o - iyf
+            iyi = iyf.astype(jnp.int32)
+            vx0 = ((ixi >= 0) & (ixi < src_w)).astype(jnp.float32)
+            vx1 = ((ixi + 1 >= 0) & (ixi + 1 < src_w)).astype(jnp.float32)
+            vyt = ((iyi >= 0) & (iyi < src_h)).astype(jnp.float32)
+            vyb = ((iyi + 1 >= 0) & (iyi + 1 < src_h)).astype(jnp.float32)
+            sx_top_o, _ = coords(xfo, r0f)
+            stair_o = jnp.floor(sx_top_o).astype(jnp.int32)
+            h_sel = ixi - stair_o + OFF
+            _, sy_lo = coords(jnp.full_like(rf, x0.astype(jnp.float32)), rf)
+            _, sy_ro = coords(
+                jnp.full_like(rf, (x0 + T - 1).astype(jnp.float32)), rf)
+            kb_o = jnp.floor(jnp.minimum(sy_lo, sy_ro)).astype(jnp.int32) - 1
+            s_sel = iyi - kb_o
+
+            s_masks = [s_sel == sc for sc in range(S_v - 1)]
+            v00 = jnp.zeros((R, tn), jnp.float32)
+            v01 = jnp.zeros((R, tn), jnp.float32)
+            v10 = jnp.zeros((R, tn), jnp.float32)
+            v11 = jnp.zeros((R, tn), jnp.float32)
+            for h in range(S_h - 1):
+                bh = h_sel == h
+                for sc in range(S_v - 1):
+                    mm = bh & s_masks[sc]
+                    top = d_all[sc * R : (sc + 1) * R]
+                    bot = d_all[(sc + 1) * R : (sc + 2) * R]
+                    v00 = v00 + jnp.where(mm, top[:, h * tn : (h + 1) * tn], 0.0)
+                    v01 = v01 + jnp.where(
+                        mm, top[:, (h + 1) * tn : (h + 2) * tn], 0.0)
+                    v10 = v10 + jnp.where(mm, bot[:, h * tn : (h + 1) * tn], 0.0)
+                    v11 = v11 + jnp.where(
+                        mm, bot[:, (h + 1) * tn : (h + 2) * tn], 0.0)
+
+            border_col = jnp.zeros((1, tn), jnp.float32)
+            for ci in range(nch):
+                border_col = border_col + jnp.where(
+                    ccho == ci, fp_ref[n_cf * n_pl + p * nch + ci], 0.0)
+            m00 = vx0 * vyt
+            m01 = vx1 * vyt
+            m10 = vx0 * vyb
+            m11 = vx1 * vyb
+            h0 = ((m00 * v00 + (1.0 - m00) * border_col) * (1.0 - fx)
+                  + (m01 * v01 + (1.0 - m01) * border_col) * fx)
+            h1 = ((m10 * v10 + (1.0 - m10) * border_col) * (1.0 - fx)
+                  + (m11 * v11 + (1.0 - m11) * border_col) * fx)
+            out_flat = h0 * (1.0 - fy) + h1 * fy
+
+            # ragged batch: planes past used_planes hold the DEFAULT value,
+            # substituted BEFORE the compute chain (the reference's
+            # CONDITIONAL_WITH_DEFAULT ordering, like the flagship kernel)
+            def_col = jnp.zeros((1, tn), jnp.float32)
+            for ci in range(nch):
+                def_col = def_col + jnp.where(
+                    ccho == ci, fp_ref[n_cf * n_pl + nch * n_pl + ci], 0.0)
+            out_flat = out_flat * active + def_col * (1.0 - active)
+
+            planes = [out_flat[:, ci * T : (ci + 1) * T] for ci in range(nch)]
+            planes = _apply_chain_planar(chain_k, planes)
+            for ci, pline in enumerate(planes):
+                out_ref[0, 0, ci, g * R : (g + 1) * R] = pline
+
+        for g in range(G_P):
+            ft = tile_flat(st, g)
+            r0 = ((st % n_groups) * G_P + g) * R
+            _run_tile(g, tp_ref[ft * 2], tp_ref[ft * 2 + 1],
+                      r0, r0.astype(jnp.float32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_pl, n_strips, n_groups),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM) for _ in srcs2d],
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((2 * G_P, K, L), plan["src_dtype"]),
+            pltpu.SemaphoreType.DMA((2 * G_P,)),
+        ],
+    )
+
+    out_bytes = int(np.prod(out_shape.shape)) * out_shape.dtype.itemsize
+    cost = pl.CostEstimate(
+        flops=n_pl * n_tiles * 2 * ch_cols * (K * L + S_v * R * K),
+        bytes_accessed=n_pl * n_tiles * K * L + out_bytes,
+        transcendentals=0,
+    )
+
+    raw = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        cost_estimate=cost,
+    )(tile_params, fparams, *srcs2d)
+    # (N, n_strips, out_ch, pad_h, T) -> (N, out_ch, dst_h, dst_w)
+    full = jnp.transpose(raw, (0, 2, 3, 1, 4)).reshape(
+        n_pl, out_ch, pad_h, dst_w)[:, :, :dst_h]
+    if isinstance(write, TensorSplit):
+        return full
+    return tuple(full[:, ci] for ci in range(out_ch))

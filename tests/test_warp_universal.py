@@ -154,3 +154,95 @@ def test_ragged_band_heights(rng):
         ops, pipe = _pipe(img, m, cvgs.Size(128, h))
         assert pwu.supports(pipe), h
         _parity(ops, pipe, tol=0)
+
+
+def test_sy_endpoint_rounding_regression(rng):
+    """Homography whose bottom output rows map to src row ~95 everywhere:
+    f32 evaluation of an interior element can round 1 ulp BELOW both rounded
+    row-endpoint values (94.99999 vs 95.0), which made s_sel = -1 and every
+    candidate mask miss (silent border output). The kernel biases the
+    candidate base down by one row; parity must be exact."""
+    img = rng.integers(0, 256, (96, 384, 3)).astype(np.uint8)
+    srcs = np.float32([[0, 0], [383, 0], [0, 95], [383, 95]])
+    m = cv2.getPerspectiveTransform(
+        srcs, np.float32([[6, 3], [119, 8], [2, 61], [125, 61]]))
+    ops, pipe = _pipe(img, m, cvgs.Size(128, 64), wt=cvgs.WarpType.PERSPECTIVE)
+    _parity(ops, pipe, tol=0)
+
+
+# --- batched warp (cvGS::warp<WT, I, BATCH>, one kernel launch) ------------
+
+
+def test_warp_batch_kernel_affine_ragged(rng):
+    """Per-image affine matrices + ragged used_planes + default through ONE
+    Pallas launch (reference ``include/cvGPUSpeedup.cuh:381-442``,
+    ``tests/warping/test_warping_opencv.cu:157-247``)."""
+    imgs = [rng.integers(0, 256, (96, 384, 3)).astype(np.uint8)
+            for _ in range(6)]
+    mats = [cv2.getRotationMatrix2D((192, 48), 7.0 * i - 15, 1.0 + 0.1 * i)
+            for i in range(6)]
+    ops = [
+        cvgs.warp_batch(imgs, mats, cvgs.Size(128, 64), used_planes=5,
+                        default=7.0, border_value=(1.0, 2.0, 3.0)),
+        cvgs.multiply(0.5),
+        cvgs.split_tensor(),
+    ]
+    pipe = cvgs.build_pipeline(*ops)
+    assert pwu.supports(pipe)
+    assert pwu._plan(pipe)["n_pl"] == 6
+    x = np.asarray(cvgs.execute_operations(*ops, backend=cvgs.ParBackend.XLA))
+    p = np.asarray(pwu.try_lower(pipe, interpret=True))
+    assert p.shape == (6, 3, 64, 128)
+    # coordinate math matches the XLA sampler to 1 ulp; taps are exact
+    check_float(p, x, msg="batched warp kernel vs xla")
+    # ragged plane: default through the chain
+    assert np.all(p[5] == 3.5)
+
+
+def test_warp_batch_kernel_perspective(rng):
+    imgs = [rng.integers(0, 256, (96, 384, 3)).astype(np.uint8)
+            for _ in range(4)]
+    srcs = np.float32([[0, 0], [383, 0], [0, 95], [383, 95]])
+    pms = [cv2.getPerspectiveTransform(srcs, np.float32(
+        [[5 + i, 3], [120 - i, 8], [2, 60 + i], [125, 62 - i]]))
+        for i in range(4)]
+    ops = [
+        cvgs.warp_batch(imgs, pms, cvgs.Size(128, 64),
+                        warp_type=cvgs.WarpType.PERSPECTIVE),
+        cvgs.split_tensor(),
+    ]
+    pipe = cvgs.build_pipeline(*ops)
+    assert pwu.supports(pipe)
+    x = np.asarray(cvgs.execute_operations(*ops, backend=cvgs.ParBackend.XLA))
+    p = np.asarray(pwu.try_lower(pipe, interpret=True))
+    check_float(p, x, msg="batched perspective kernel vs xla")
+
+
+def test_warp_batch_mixed_classes_one_kernel(rng):
+    """A batch mixing a separable translation with rotations still runs as
+    ONE universal kernel: the factory attaches universal buckets to every
+    plane and the plan sizes tiles by the batch max."""
+    imgs = [rng.integers(0, 256, (96, 384, 3)).astype(np.uint8)
+            for _ in range(4)]
+    mats = [np.array([[1.0, 0.0, 5.0], [0.0, 1.0, 3.0]])] + [
+        cv2.getRotationMatrix2D((192, 48), 7.0 * i, 1.1) for i in range(1, 4)]
+    ops = [cvgs.warp_batch(imgs, mats, cvgs.Size(128, 64)),
+           cvgs.split_tensor()]
+    pipe = cvgs.build_pipeline(*ops)
+    assert pwu.supports(pipe)
+    x = np.asarray(cvgs.execute_operations(*ops, backend=cvgs.ParBackend.XLA))
+    p = np.asarray(pwu.try_lower(pipe, interpret=True))
+    check_float(p, x, msg="mixed-class batched warp vs xla")
+
+
+def test_describe_backend_reports_batch(rng):
+    from cvgpuspeedup_tpu.exec import executor
+
+    imgs = [rng.integers(0, 256, (96, 384, 3)).astype(np.uint8)
+            for _ in range(3)]
+    mats = [cv2.getRotationMatrix2D((192, 48), 5.0 * i, 1.1) for i in range(3)]
+    name = executor.describe_backend(
+        cvgs.warp_batch(imgs, mats, cvgs.Size(128, 64)), cvgs.split_tensor(),
+        backend=cvgs.ParBackend.PALLAS_INTERPRET,
+    )
+    assert name == "pallas:warp_universal:interpret"
