@@ -173,12 +173,18 @@ def bench_single_1080p(rec):
 
     s_base = time_unfused(step, jax.jit(lambda o: o[0, 0, 0]))
     t_base = _median(s_base)
+    from cvgpuspeedup_tpu.exec import pallas_frame
+    fl = pallas_frame.analytic_floor(make())
     rec.add_case("single_1080p_resize_normalize_split",
                  TimingStats.from_samples(s_base),
-                 TimingStats.from_samples(s_fused))
+                 TimingStats.from_samples(s_fused),
+                 floor_s=fl["floor_s"] if fl else None)
     print(f"1080p resize+normalize+split: fused({be.name}) {t_fused*1e6:.1f} us"
           f" ({1/t_fused:.0f} fps), unfused {t_base*1e6:.1f} us, "
-          f"{t_base/t_fused:.1f}x", file=sys.stderr)
+          f"{t_base/t_fused:.1f}x"
+          + (f", floor {fl['floor_s']*1e6:.1f} us "
+             f"({fl['floor_s']/t_fused*100:.0f}%)" if fl else ""),
+          file=sys.stderr)
 
 
 def bench_nv12_6k(rec):
@@ -224,12 +230,18 @@ def bench_nv12_6k(rec):
 
     s_base = time_unfused(step, jax.jit(lambda o: o[0, 0, 0]), frames=3)
     t_base = _median(s_base)
+    from cvgpuspeedup_tpu.exec import pallas_frame
+    fl = pallas_frame.analytic_floor(make())
     rec.add_case("nv12_6k_to_1080p_rgb_normalize",
                  TimingStats.from_samples(s_base),
-                 TimingStats.from_samples(s_fused))
+                 TimingStats.from_samples(s_fused),
+                 floor_s=fl["floor_s"] if fl else None)
     print(f"6K NV12 -> 1080p RGB normalize: fused({be.name}) "
           f"{t_fused*1e6:.1f} us ({1/t_fused:.0f} fps), unfused "
-          f"{t_base*1e6:.1f} us, {t_base/t_fused:.1f}x", file=sys.stderr)
+          f"{t_base*1e6:.1f} us, {t_base/t_fused:.1f}x"
+          + (f", floor {fl['floor_s']*1e6:.1f} us "
+             f"({fl['floor_s']/t_fused*100:.0f}%)" if fl else ""),
+          file=sys.stderr)
 
 
 def bench_circular_tensor(rec):
@@ -329,11 +341,16 @@ def bench_warp(rec):
 
     s_base = time_unfused(step, jax.jit(lambda o: o[0, 0, 0]), frames=2)
     t_base = _median(s_base)
+    from cvgpuspeedup_tpu.exec import pallas_warp
+    fl = pallas_warp.analytic_floor(make())
     rec.add_case("warp_1080p_separable_affine_normalize_split",
                  TimingStats.from_samples(s_base),
-                 TimingStats.from_samples(s_fused))
+                 TimingStats.from_samples(s_fused),
+                 floor_s=fl["floor_s"] if fl else None)
     print(f"warp 1080p separable affine: fused({be.name}) {t_fused*1e6:.1f} us,"
-          f" unfused {t_base*1e6:.1f} us, {t_base/t_fused:.1f}x",
+          f" unfused {t_base*1e6:.1f} us, {t_base/t_fused:.1f}x"
+          + (f", floor {fl['floor_s']*1e6:.1f} us "
+             f"({fl['floor_s']/t_fused*100:.0f}%)" if fl else ""),
           file=sys.stderr)
 
 
@@ -476,11 +493,16 @@ def bench_warp_general(rec):
 
     s_base = time_unfused(step, jax.jit(lambda o: o[0, 0, 0]), frames=2)
     t_base = _median(s_base)
+    from cvgpuspeedup_tpu.exec import pallas_warp_general
+    fl = pallas_warp_general.analytic_floor(make())
     rec.add_case("warp_1080p_rotation10deg_normalize_split",
                  TimingStats.from_samples(s_base),
-                 TimingStats.from_samples(s_fused))
+                 TimingStats.from_samples(s_fused),
+                 floor_s=fl["floor_s"] if fl else None)
     print(f"warp 1080p 10deg rotation: fused({be.name}) {t_fused*1e6:.1f} us,"
-          f" unfused {t_base*1e6:.1f} us, {t_base/t_fused:.1f}x",
+          f" unfused {t_base*1e6:.1f} us, {t_base/t_fused:.1f}x"
+          + (f", floor {fl['floor_s']*1e6:.1f} us "
+             f"({fl['floor_s']/t_fused*100:.0f}%)" if fl else ""),
           file=sys.stderr)
 
 
@@ -666,11 +688,16 @@ def bench_warp_universal(rec):
     s_base, _ = diff_time_pipeline(
         lambda: pipe, lambda l: getattr(l, "ndim", 0) == 2 and l.size > 10**6,
         inner=3, k_large=3, backend=cvgs.ParBackend.XLA)
+    fl = pwu.analytic_floor(pipe)
     rec.add_case("warp_1080p_hflip_downscale_universal",
                  TimingStats.from_samples(s_base),
-                 TimingStats.from_samples(s_fused))
+                 TimingStats.from_samples(s_fused),
+                 floor_s=fl["floor_s"] if fl else None)
     print(f"universal warp hflip 960x540: kernel {_median(s_fused)*1e6:.0f} "
-          f"us vs XLA {_median(s_base)*1e6:.0f} us", file=sys.stderr)
+          f"us vs XLA {_median(s_base)*1e6:.0f} us"
+          + (f", floor {fl['floor_s']*1e6:.0f} us "
+             f"({fl['floor_s']/_median(s_fused)*100:.0f}%)" if fl else ""),
+          file=sys.stderr)
 
     src_pts = np.float32([[0, 0], [1919, 0], [0, 1079], [1919, 1079]])
     dst_pts = np.float32([[20, 10], [620, 25], [8, 370], [630, 380]])
@@ -684,11 +711,15 @@ def bench_warp_universal(rec):
     s_base, _ = diff_time_pipeline(
         lambda: pipe_p, lambda l: getattr(l, "ndim", 0) == 2 and l.size > 10**6,
         inner=3, k_large=3, backend=cvgs.ParBackend.XLA)
+    fl = pwu.analytic_floor(pipe_p)
     rec.add_case("warp_1080p_perspective_universal",
                  TimingStats.from_samples(s_base),
-                 TimingStats.from_samples(s_fused))
+                 TimingStats.from_samples(s_fused),
+                 floor_s=fl["floor_s"] if fl else None)
     print(f"universal warp perspective 640x384: kernel "
-          f"{_median(s_fused)*1e6:.0f} us vs XLA {_median(s_base)*1e6:.0f} us",
+          f"{_median(s_fused)*1e6:.0f} us vs XLA {_median(s_base)*1e6:.0f} us"
+          + (f", floor {fl['floor_s']*1e6:.0f} us "
+             f"({fl['floor_s']/_median(s_fused)*100:.0f}%)" if fl else ""),
           file=sys.stderr)
 
 

@@ -962,3 +962,46 @@ def _emit_frame_resize(pipeline, plan: dict, *, interpret: bool):
             vmem_limit_bytes=32 * 1024 * 1024
         ),
     )(rstarts, fparams, *srcs, *weight_inputs)
+
+
+def analytic_floor(pipeline):
+    """Analytic per-launch floor on v5e (VERDICT r4 #6): the max of HBM
+    streaming time (window reads + output writes) and MXU time of the
+    kernel's ACTUAL dense dot schedule — the banded interpolation matrices
+    are sparse in content but dense on the MXU, so their shapes (incl. the
+    w3 column-tripling, Dekker duplication, and the 2x-rate s8 vertical
+    path) are part of the algorithm's speed of light. Returns
+    dict(hbm_bytes, mxu_s, floor_s) or None if the kernel does not claim
+    the pipeline."""
+    from ..utils.profiling import V5E_BF16_MACS, V5E_HBM_BPS, kernel_floor_s
+
+    plan = _plan_of(pipeline)
+    if plan is None:
+        return None
+    n_bands, R = plan["n_bands"], plan["R"]
+    lanes = plan["lanes"]
+    dst_w, dst_h = plan["dst_w"], plan["dst_h"]
+    hbm = dst_h * dst_w * plan["out_ch"] * plan["out_dtype"].itemsize
+    mxu_s = 0.0
+    for p in (plan["y"], plan["uv"]):
+        if p is None:
+            continue
+        rows_in = p["rows_in"]
+        hbm += n_bands * rows_in * lanes * plan["src_dtype"].itemsize
+        span, cols = p["wh"].shape[-2], p["wh"].shape[-1]
+        wv_k = p["wv"].shape[-1]
+        n_tiles = p["n_tiles"]
+        if plan["order"] == "v":
+            # vertical first over the full lane width (s8 nibble passes run
+            # at 2x the bf16 MAC rate; use_hi False is a single pass)
+            v_passes = (2 if (p["s8"] and p["s8"]["use_hi"]) else 1)
+            v_rate = (2.0 if p["s8"] else 1.0) * V5E_BF16_MACS
+            mxu_s += n_bands * R * wv_k * lanes * v_passes / v_rate
+            mxu_s += n_bands * n_tiles * R * span * cols / V5E_BF16_MACS
+        else:
+            # horizontal first on the window rows (cols carries the w3
+            # tripling), reduced vertical second (wv_k carries Dekker)
+            mxu_s += n_bands * n_tiles * rows_in * span * cols / V5E_BF16_MACS
+            w3f = 3 if p["w3"] else 1
+            mxu_s += n_bands * R * wv_k * n_tiles * (cols // w3f) / V5E_BF16_MACS
+    return dict(hbm_bytes=hbm, mxu_s=mxu_s, floor_s=kernel_floor_s(hbm, mxu_s))

@@ -411,3 +411,25 @@ def _emit_warp(pipeline, plan: dict, *, interpret: bool):
         interpret=interpret,
         cost_estimate=cost,
     )(rstarts, lstarts, fparams, src2d, sx_in, sy_in)
+
+
+def analytic_floor(pipeline):
+    """Analytic per-launch floor on v5e (VERDICT r4 #6): max of HBM stream
+    time (band windows + outputs) and MXU time of the separable V/H dots at
+    f32-HIGHEST (~1/6 the bf16 MAC rate on these shapes). Returns
+    dict(hbm_bytes, mxu_s, floor_s) or None when the kernel does not claim
+    the pipeline."""
+    from ..utils.profiling import V5E_BF16_MACS, kernel_floor_s
+
+    plan = _plan(pipeline)
+    if plan is None:
+        return None
+    hbm = (plan["n_bands"] * plan["rows_in"] * plan["lanes"]
+           * plan["src_dtype"].itemsize
+           + plan["dst_w"] * plan["dst_h"] * plan["out_ch"]
+           * plan["out_dtype"].itemsize)
+    macs = (plan["n_bands"] * plan["R"] * plan["rows_in"] * plan["lanes"]
+            + plan["dst_h"] * plan["span"] * plan["nch"] * plan["dst_w"]
+            // plan["T"])
+    mxu_s = macs / (V5E_BF16_MACS / 6.0)  # f32 HIGHEST passes
+    return dict(hbm_bytes=hbm, mxu_s=mxu_s, floor_s=kernel_floor_s(hbm, mxu_s))

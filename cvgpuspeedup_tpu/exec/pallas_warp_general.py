@@ -238,7 +238,9 @@ def _plan(pipeline) -> Optional[dict]:
             if best is None or cost < best["cost"]:
                 best = dict(R=R, T=T, K=k_rows, L=lanes, L_pad=l_pad,
                             S_v=s_v, S_h=s_h, n_bands=n_bands,
-                            n_strips=n_strips, cost=cost)
+                            n_strips=n_strips, cost=cost,
+                            tile_flops=v_flops + h_flops,
+                            tile_dma_b=dma_b)
     if best is None:
         return None
     best.update(src_h=src_h, src_w=src_w, nch=nch, src_lanes=src_lanes,
@@ -738,3 +740,21 @@ def _emit(pipeline, plan: dict, *, interpret: bool):
     if isinstance(write, TensorSplit):
         return full
     return tuple(full[ci] for ci in range(out_ch))
+
+
+def analytic_floor(pipeline):
+    """Analytic per-launch floor on v5e (VERDICT r4 #6): max of HBM stream
+    time (per-tile window DMA + outputs) and MXU time of the one-hot gather
+    dots (dense on the MXU at bf16 rate). Returns dict(hbm_bytes, mxu_s,
+    floor_s) or None when the kernel does not claim the pipeline."""
+    from ..utils.profiling import V5E_BF16_MACS, kernel_floor_s
+
+    plan = _plan(pipeline)
+    if plan is None:
+        return None
+    n_tiles = plan["n_bands"] * plan["n_strips"]
+    hbm = (n_tiles * plan["tile_dma_b"]
+           + plan["dst_w"] * plan["dst_h"] * plan["out_ch"]
+           * plan["out_dtype"].itemsize)
+    mxu_s = n_tiles * plan["tile_flops"] / 2.0 / V5E_BF16_MACS
+    return dict(hbm_bytes=hbm, mxu_s=mxu_s, floor_s=kernel_floor_s(hbm, mxu_s))

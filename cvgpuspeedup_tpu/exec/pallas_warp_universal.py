@@ -249,7 +249,7 @@ def _rt_search(persp, bx_x, bx_y, by_x, by_y, nch, src_h, src_lanes,
             if best is None or cost < best["cost"]:
                 best = dict(R=R, T=T, K=k_rows, L=lanes, S_v=s_v, S_h=s_h,
                             OFF=off, n_bands=n_bands, n_strips=n_strips,
-                            cost=cost)
+                            cost=cost, tile_flops=mxu, tile_dma_b=dma_b)
     return best
 
 
@@ -1070,3 +1070,22 @@ def _emit_batch(pipeline, plan: dict, *, interpret: bool):
     if isinstance(write, TensorSplit):
         return full
     return tuple(full[:, ci] for ci in range(out_ch))
+
+
+def analytic_floor(pipeline):
+    """Analytic per-launch floor on v5e (VERDICT r4 #6): max of HBM stream
+    time and MXU time of the one-hot H/V gather dots (dense bf16 shapes).
+    Covers single-plane AND batched plans. Returns dict(hbm_bytes, mxu_s,
+    floor_s) or None when the kernel does not claim the pipeline."""
+    from ..utils.profiling import V5E_BF16_MACS, kernel_floor_s
+
+    plan = _plan(pipeline)
+    if plan is None:
+        return None
+    n_pl = plan.get("n_pl", 1)
+    n_tiles = plan["n_bands"] * plan["n_strips"] * n_pl
+    hbm = (n_tiles * plan["tile_dma_b"]
+           + n_pl * plan["dst_w"] * plan["dst_h"] * plan["out_ch"]
+           * plan["out_dtype"].itemsize)
+    mxu_s = n_tiles * plan["tile_flops"] / 2.0 / V5E_BF16_MACS
+    return dict(hbm_bytes=hbm, mxu_s=mxu_s, floor_s=kernel_floor_s(hbm, mxu_s))

@@ -29,6 +29,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+#: TPU v5e speed-of-light constants for analytic kernel floors (the same
+#: 819 GB/s the flagship bench.py roofline uses; MXU: 197 TFLOP/s bf16 =
+#: 98.5e12 multiply-adds/s, int8 2x). A kernel's analytic floor is
+#: max(HBM stream time, MXU time of its ACTUAL dense dot schedule) — banded
+#: interpolation / one-hot gather matrices are sparse in content but DENSE
+#: on the MXU, so the dot shapes are part of the algorithm's floor.
+V5E_HBM_BPS = 819e9
+V5E_BF16_MACS = 98.5e12
+
+
+def kernel_floor_s(hbm_bytes: float, mxu_s: float = 0.0) -> float:
+    """max(HBM streaming time, MXU dot time) on v5e."""
+    return max(hbm_bytes / V5E_HBM_BPS, mxu_s)
+
 
 def transfer_sync(x):
     """True device sync via a tiny scalar transfer — for environments where
@@ -131,7 +145,12 @@ class BenchmarkRecorder:
     path: str
     rows: List[Dict] = field(default_factory=list)
 
-    def add_case(self, case: str, baseline: TimingStats, fused: TimingStats) -> None:
+    def add_case(self, case: str, baseline: TimingStats, fused: TimingStats,
+                 floor_s: Optional[float] = None) -> None:
+        """``floor_s``: the kernel's analytic v5e floor (max of HBM stream
+        time and its dense MXU dot time — see the emitters'
+        ``analytic_floor``); adds a '% of floor' column so every kernel row
+        carries its roofline distance (VERDICT r4 #6)."""
         self.rows.append({
             "case": case,
             "baseline_mean_s": baseline.mean,
@@ -143,6 +162,11 @@ class BenchmarkRecorder:
             "fused_max_s": fused.max,
             "fused_min_s": fused.min,
             "mean_speedup": baseline.mean / fused.mean if fused.mean else math.inf,
+            "analytic_floor_s": floor_s,
+            "pct_of_floor": (
+                round(100.0 * floor_s / fused.mean, 1)
+                if floor_s and fused.mean else None
+            ),
         })
 
     def write(self) -> None:
