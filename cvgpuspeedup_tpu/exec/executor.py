@@ -342,6 +342,13 @@ def launch_divergent_batch(
     use_pallas = use_pallas and pallas_divergent.supports(
         seqs, plane_ids, allow_pad=backend != ParBackend.AUTO
     )
+    # warp groups bake their STATIC matrices host-side (outside jit, where
+    # they are concrete); a bake over the candidate caps falls back to XLA
+    prebaked = None
+    if use_pallas:
+        prebaked = pallas_divergent.prebake(seqs, plane_ids)
+        if prebaked is None:
+            use_pallas = False
     interpret = backend == ParBackend.PALLAS_INTERPRET
     global _LAST_BACKEND
     _LAST_BACKEND = ("pallas:divergent" + (":interpret" if interpret else "")
@@ -350,7 +357,7 @@ def launch_divergent_batch(
     def run(seq_list):
         if use_pallas:
             out = pallas_divergent.try_lower(
-                seq_list, plane_ids, interpret=interpret
+                seq_list, plane_ids, interpret=interpret, prebaked=prebaked
             )
             if out is not None:
                 return seq_list[0].write.write(out)
@@ -374,7 +381,10 @@ def launch_divergent_batch(
         return seq_list[0].write.write(merged)
 
     leaves, treedef = jax.tree_util.tree_flatten(seqs)
-    key = (treedef, "divergent", plane_ids, backend, use_pallas)
+    # warp groups bake STATIC matrices into the program: they must be part
+    # of the compile key (treedef alone only captures structure)
+    key = (treedef, "divergent", plane_ids, backend, use_pallas,
+           pallas_divergent.static_key(seqs, plane_ids) if use_pallas else ())
     fn = _CACHE.get(key)
     if fn is None:
 

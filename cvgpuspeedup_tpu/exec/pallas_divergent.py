@@ -164,6 +164,9 @@ def _seq_info(seq) -> Optional[dict]:
         return dict(src=src, kind=kind, asc=asc, chain=chain, read=read,
                     pshape=pshape, packed=packed, sshape=sshape)
     elif isinstance(read, BatchRead) and read.used_planes is None:
+        winfo = _warp_seq_info(seq, read)
+        if winfo is not None:
+            return winfo
         # NV12 group: every plane an identical-structure fused NV12->RGB
         # read, optionally resized — the other half of the reference's
         # divergent demo (tests/resize/test_fused_resize.cu:85-92). The
@@ -234,6 +237,229 @@ def _seq_info(seq) -> Optional[dict]:
                 pshape=pshape, packed=packed, sshape=pshape)
 
 
+#: caps for the divergent warp group's exact static candidate counts (the
+#: bake measures the TRUE per-tile spans — no derivative buckets — and the
+#: group falls back to the XLA merge beyond these)
+_WARP_MAX_HG = 20
+_WARP_MAX_SV = 40
+_WARP_R = 8
+
+
+def _warp_seq_info(seq, read):
+    """Warp group: a ``BatchRead`` of per-plane WarpReads with STATIC
+    (concrete) matrices — the reference's arbitrary per-plane routing with
+    warp sequences (``tests/batchread/test_circularbatchread_x_write3D.cu:
+    147-156``; warp overloads ``include/cvGPUSpeedup.cuh:285-442``). The
+    matrices being static, the ENTIRE candidate/select structure of the
+    universal warp kernel (exec.pallas_warp_universal) is baked host-side:
+    exact per-tile one-hot lane/row maps, select indices, fractions and
+    border masks — no coordinate math and no derivative buckets in-kernel.
+    Static matrices are part of the compile key (see ``static_key``)."""
+    from ..ops.warp import WarpRead
+
+    subs = read.ops
+    if not subs or not all(isinstance(w, WarpRead) for w in subs):
+        return None
+    w0 = subs[0]
+    geom = None
+    for wr in subs:
+        if wr.dsize != w0.dsize or wr.warp_type != w0.warp_type:
+            return None
+        s = wr.source
+        if not isinstance(s, ImageRead) or s.is_batch:
+            return None
+        d = s.data
+        pc = s.packed_channels
+        if pc:
+            g = (int(d.shape[0]), int(d.shape[1]) // pc, pc)
+        elif d.ndim == 3:
+            g = tuple(int(v) for v in d.shape)
+        else:
+            return None
+        if geom is None:
+            geom = g
+        elif g != geom:
+            return None
+        if jnp.dtype(d.dtype) != jnp.dtype(jnp.uint8):
+            return None  # exact one-hot bf16 gathers need u8 sources
+    sh, sw, c = geom
+    if sh % 8 or (sw * c) % 128:
+        return None
+    chain = _flat_chain(seq.compute)
+    if chain is None:
+        return None
+    if not isinstance(seq.write, (TensorWrite, Write2D)):
+        return None
+    dst_h, dst_w = w0.dsize.height, w0.dsize.width
+    if dst_h % _WARP_R:
+        return None
+    return dict(src=None, kind="warp", asc=True, chain=chain, read=read,
+                warps=tuple(subs), pshape=(dst_h, dst_w, c), packed=0,
+                sshape=(sh, sw, c))
+
+
+def _bake_warp_group(info, n: int):
+    """Exact static bake of a warp group's candidate/select structure.
+
+    Mirrors the XLA path's f32 coordinate shapes (``decompose_inverse_map``
+    + ``WarpRead.lower``: per-axis f32 term products, then one f32 add per
+    element) so the gathered taps and lerp fractions agree with the XLA
+    lowering bit-for-bit. Returns a dict of stacked (n, ...) numpy arrays
+    (plane-indexed by the kernel's BlockSpec) or None when the exact
+    candidate counts exceed the caps."""
+    from ..ops.warp import WarpType
+
+    sh, sw, c = info["sshape"]
+    dst_h, dst_w, _ = info["pshape"]
+    R = _WARP_R
+    T = dst_w  # full-width strips: tile cols stay whole-row interleaved
+    n_bands = dst_h // R
+    n_tiles = n_bands
+    tn = T * c
+    persp = info["warps"][0].warp_type == WarpType.PERSPECTIVE
+
+    per = []
+    hg_need, sv_need = 0, 0
+    for wr in info["warps"]:
+        cf = np.asarray(wr.coeffs, np.float32)
+        xs = np.arange(dst_w, dtype=np.float32)
+        ys = np.arange(dst_h, dtype=np.float32)
+        col_x = cf[0] * xs
+        row_x = cf[1] * ys + cf[2]
+        col_y = cf[3] * xs
+        row_y = cf[4] * ys + cf[5]
+        sx = col_x[None, :] + row_x[:, None]
+        sy = col_y[None, :] + row_y[:, None]
+        if persp:
+            col_w = cf[6] * xs
+            row_w = cf[7] * ys + cf[8]
+            den = col_w[None, :] + row_w[:, None]
+            den = np.where(den == 0.0, np.float32(1.0), den)
+            sx = (sx / den).astype(np.float32)
+            sy = (sy / den).astype(np.float32)
+        ixf = np.floor(sx)
+        fx = (sx - ixf).astype(np.float32)
+        ixi = ixf.astype(np.int64)
+        iyf = np.floor(sy)
+        fy = (sy - iyf).astype(np.float32)
+        iyi = iyf.astype(np.int64)
+        vx0 = ((ixi >= 0) & (ixi < sw)).astype(np.float32)
+        vx1 = ((ixi + 1 >= 0) & (ixi + 1 < sw)).astype(np.float32)
+        vyt = ((iyi >= 0) & (iyi < sh)).astype(np.float32)
+        vyb = ((iyi + 1 >= 0) & (iyi + 1 < sh)).astype(np.float32)
+        stairs, kbs, hss, sss = [], [], [], []
+        for b in range(n_bands):
+            rows = slice(b * R, (b + 1) * R)
+            stair = ixi[rows].min(axis=0)          # (T,) per-column base
+            kb = iyi[rows].min(axis=1)             # (R,) per-row base
+            hs = ixi[rows] - stair[None, :]        # (R, T) >= 0
+            ss = iyi[rows] - kb[:, None]           # (R, T) >= 0
+            hg_need = max(hg_need, int(hs.max()) + 2)
+            sv_need = max(sv_need, int(ss.max()) + 2)
+            stairs.append(stair)
+            kbs.append(kb)
+            hss.append(hs)
+            sss.append(ss)
+        per.append(dict(stairs=stairs, kbs=kbs, hss=hss, sss=sss,
+                        fx=fx, fy=fy, m00=vx0 * vyt, m01=vx1 * vyt,
+                        m10=vx0 * vyb, m11=vx1 * vyb,
+                        default=np.asarray(wr.default, np.float32)))
+    if hg_need > _WARP_MAX_HG or sv_need > _WARP_MAX_SV:
+        return None
+    n_hg, n_sv = hg_need, sv_need
+    ch_cols = n_hg * tn
+
+    def expand(a2d):  # (dst_h, dst_w) -> tile-major (n_tiles, R, tn)
+        out = np.empty((n_tiles, R, tn), a2d.dtype)
+        for b in range(n_bands):
+            out[b] = np.repeat(a2d[b * R:(b + 1) * R], c, axis=1)
+        return out
+
+    lt = np.full((n, n_tiles, ch_cols), -1, np.int32)
+    kk = np.full((n, n_tiles, n_sv * R), sh, np.int32)
+    hs_a = np.zeros((n, n_tiles, R, tn), np.int32)
+    ss_a = np.zeros((n, n_tiles, R, tn), np.int32)
+    fx_a = np.zeros((n, n_tiles, R, tn), np.float32)
+    fy_a = np.zeros((n, n_tiles, R, tn), np.float32)
+    masks = {m: np.zeros((n, n_tiles, R, tn), np.float32)
+             for m in ("m00", "m01", "m10", "m11")}
+    border = np.zeros((n, tn), np.float32)
+    src_lanes = sw * c
+    jcol = np.arange(ch_cols)
+    hp = jcol // tn
+    xr = (jcol % tn) // c
+    cch = jcol % c
+    for z, p in enumerate(per):
+        bvec = p["default"].reshape(-1)
+        if bvec.size != c:
+            bvec = np.broadcast_to(bvec[:1], (c,))
+        border[z] = np.tile(bvec, T)
+        for b in range(n_bands):
+            # one-hot H gather lanes: candidate pixel stair[x]+hp, channel c
+            lane = (p["stairs"][b][xr] + hp) * c + cch
+            lane = np.where((lane >= 0) & (lane < src_lanes), lane, -1)
+            lt[z, b] = lane.astype(np.int32)
+            # candidate source rows kb[r] + s (absolute; out of range -> sh
+            # sentinel = one-hot miss, masked by vyt/vyb)
+            s_of = np.arange(n_sv * R) // R
+            r_of = np.arange(n_sv * R) % R
+            krow = p["kbs"][b][r_of] + s_of
+            kk[z, b] = np.where((krow >= 0) & (krow < sh), krow,
+                                sh).astype(np.int32)
+        hs_a[z] = expand(np.concatenate(
+            [p["hss"][b] for b in range(n_bands)]).astype(np.int32)
+            .reshape(dst_h, dst_w))
+        ss_a[z] = expand(np.concatenate(
+            [p["sss"][b] for b in range(n_bands)]).astype(np.int32)
+            .reshape(dst_h, dst_w))
+        fx_a[z] = expand(p["fx"])
+        fy_a[z] = expand(p["fy"])
+        for m in masks:
+            masks[m][z] = expand(p[m])
+    return dict(n_hg=n_hg, n_sv=n_sv, R=R, T=T, n_bands=n_bands,
+                n_tiles=n_tiles, tn=tn, ch_cols=ch_cols, lt=lt, kk=kk,
+                hs=hs_a, ss=ss_a, fx=fx_a, fy=fy_a, border=border, **masks)
+
+
+def static_key(seqs, plane_ids):
+    """Hashable digest of the STATIC bake inputs (warp matrices/defaults):
+    the divergent compile cache keys on pipeline STRUCTURE (treedef), but a
+    warp group's matrices are baked into the kernel — different matrices
+    must not reuse a cached program."""
+    parts = []
+    for seq in seqs:
+        read = seq.read
+        if isinstance(read, BatchRead) and read.ops:
+            from ..ops.warp import WarpRead
+
+            for wr in read.ops:
+                if isinstance(wr, WarpRead) and not isinstance(
+                        wr.coeffs, jax.core.Tracer):
+                    parts.append(np.asarray(wr.coeffs, np.float32).tobytes())
+                    if not isinstance(wr.default, jax.core.Tracer):
+                        parts.append(
+                            np.asarray(wr.default, np.float32).tobytes())
+    return tuple(parts)
+
+
+def prebake(seqs, plane_ids):
+    """Host-side bake of every warp group's static structure (runs OUTSIDE
+    jit, where the matrices are concrete). Returns {group_index: bake}
+    (empty when no warp group) or None when a group's exact candidate
+    counts exceed the caps — the caller must then fall back to XLA."""
+    infos = _plan(seqs, plane_ids)
+    if infos is None:
+        return {}
+    out = {}
+    for gi, info in enumerate(infos):
+        if info["kind"] == "warp":
+            bake = _bake_warp_group(info, len(plane_ids))
+            if bake is None:
+                return None  # exceeds caps -> caller falls back to XLA
+            out[gi] = bake
+    return out
+
+
 def _bake_nv12(info, h_out: int, w_out: int):
     """Baked plane-space matrices for an NV12 divergent group.
 
@@ -291,14 +517,19 @@ def _plan(seqs: Sequence, plane_ids, *, allow_pad: bool = True) -> Optional[list
         info = _seq_info(seq)
         if info is None:
             return None
-        s = info["src"]
         pshape = info["pshape"]
-        sdt = jnp.dtype(s.dtype)
         odt = _chain_out_dtype(info["chain"])
         if shape0 is None:
             shape0, out_dt = pshape, odt
         elif pshape != shape0 or odt != out_dt:
             return None
+        if info["kind"] == "warp":
+            if len(info["warps"]) != n:
+                return None
+            infos.append(info)
+            continue
+        s = info["src"]
+        sdt = jnp.dtype(s.dtype)
         if sdt not in (jnp.dtype(jnp.uint8), jnp.dtype(jnp.float32)):
             return None
         if info["kind"] in ("image", "resize", "nv12") and int(s.shape[0]) != n:
@@ -317,6 +548,17 @@ def _plan(seqs: Sequence, plane_ids, *, allow_pad: bool = True) -> Optional[list
     vmem = 0
     for info in infos:
         sh, sw, sc = info["sshape"]
+        if info["kind"] == "warp":
+            # window ring (u8 planes) + per-step slice of the baked arrays
+            # (caps bound n_hg/n_sv; the actual bake may be smaller) +
+            # d_raw/d_all intermediates
+            tn = w * c
+            vmem += (2 * sh * sw * sc
+                     + (h // _WARP_R) * (_WARP_MAX_HG * tn
+                                         + _WARP_MAX_SV * _WARP_R) * 4
+                     + 8 * h * tn * 4
+                     + sh * _WARP_MAX_HG * tn * 4)
+            continue
         # whole-plane window DMAs slice only the leading (plane) axis — full
         # minor dims at any lane width keep whole HBM tiles, so only the
         # sublane grain binds; crop_resize windows slice lanes PARTIALLY,
@@ -362,7 +604,8 @@ def _plan(seqs: Sequence, plane_ids, *, allow_pad: bool = True) -> Optional[list
         # applied at an integer dtype — require every binary op to run in
         # the float domain (a preceding cast, a float source, or a resize
         # read, whose output is float by contract)
-        cur = (jnp.dtype(jnp.float32) if info["kind"] in ("resize", "nv12")
+        cur = (jnp.dtype(jnp.float32)
+               if info["kind"] in ("resize", "nv12", "warp")
                else jnp.dtype(info["src"].dtype))
         for op_ in info["chain"]:
             if isinstance(op_, (Cast, SaturateCast)):
@@ -377,14 +620,30 @@ def supports(seqs, plane_ids, *, allow_pad: bool = True) -> bool:
     return _plan(seqs, plane_ids, allow_pad=allow_pad) is not None
 
 
-def try_lower(seqs, plane_ids, *, interpret: bool = False):
+def try_lower(seqs, plane_ids, *, interpret: bool = False, prebaked=None):
+    """``prebaked``: warp-group bake from :func:`prebake` — required when
+    called inside a jit trace (the matrices are tracers there); a direct
+    call with concrete matrices bakes on the fly."""
     infos = _plan(seqs, plane_ids)
     if infos is None:
         return None
-    return _emit(tuple(plane_ids), infos, interpret=interpret)
+    warp_gis = [gi for gi, i in enumerate(infos) if i["kind"] == "warp"]
+    if warp_gis:
+        if prebaked is None:
+            try:
+                prebaked = {
+                    gi: _bake_warp_group(infos[gi], len(plane_ids))
+                    for gi in warp_gis
+                }
+            except jax.errors.TracerArrayConversionError:
+                return None  # traced matrices without a prebake
+        if any(prebaked.get(gi) is None for gi in warp_gis):
+            return None  # exact candidate counts exceeded the caps
+    return _emit(tuple(plane_ids), infos, interpret=interpret,
+                 prebaked=prebaked)
 
 
-def _emit(plane_ids, infos, *, interpret: bool):
+def _emit(plane_ids, infos, *, interpret: bool, prebaked=None):
     n = len(plane_ids)
     h, w, c = infos[0]["pshape"]
     lanes = w * c
@@ -435,6 +694,18 @@ def _emit(plane_ids, infos, *, interpret: bool):
     src_lanes_real: List[int] = []
     for info in infos:
         sh, sw, sc = info["sshape"]
+        if info["kind"] == "warp":
+            # per-plane warp sources stacked to one (n, sh, sw*c) input
+            # (lane-aligned by the _warp_seq_info gate — no padding)
+            views = []
+            for wr in info["warps"]:
+                d = wr.source.data
+                views.append(jnp.asarray(d) if wr.source.packed_channels
+                             else jnp.reshape(jnp.asarray(d), (sh, sw * sc)))
+            info["src"] = jnp.stack(views)
+            srcs.append(info["src"])
+            src_lanes_real.append(sw * sc)
+            continue
         if info["kind"] == "crop_resize":
             # 2-D lane view of the shared frame (packed ingestion is free on
             # the host; an on-device (H,W,C) frame pays one relayout here)
@@ -471,7 +742,27 @@ def _emit(plane_ids, infos, *, interpret: bool):
         return pl.BlockSpec(mat.shape, lambda z, *_, _nd=nd: (0,) * _nd,
                             memory_space=pltpu.VMEM)
 
-    for info in infos:
+    for gi, info in enumerate(infos):
+        if info["kind"] == "warp":
+            # plane-indexed baked arrays (BlockSpec slices the CURRENT
+            # plane's maps, so VMEM holds one plane's bake per step)
+            bk = prebaked[gi]
+            info["_bake_meta"] = dict(
+                n_hg=bk["n_hg"], n_sv=bk["n_sv"], R=bk["R"],
+                n_bands=bk["n_bands"], tn=bk["tn"], ch_cols=bk["ch_cols"],
+            )
+            bake_idx.append(len(bake_inputs))
+            for name in ("lt", "kk", "hs", "ss", "fx", "fy",
+                         "m00", "m01", "m10", "m11", "border"):
+                ja = jnp.asarray(bk[name])
+                nd = ja.ndim
+                bake_inputs.append(ja)
+                bake_specs.append(pl.BlockSpec(
+                    (1,) + ja.shape[1:],
+                    lambda z, *_, _nd=nd: (z,) + (0,) * (_nd - 1),
+                    memory_space=pltpu.VMEM,
+                ))
+            continue
         if info["kind"] == "nv12":
             bake_idx.append(len(bake_inputs))
             for mat in _bake_nv12(info, h, w):
@@ -628,6 +919,7 @@ def _emit(plane_ids, infos, *, interpret: bool):
             @pl.when(gid_ref[z] == gi + 1)
             def _(gi=gi):
                 hp = jax.lax.Precision.HIGHEST
+                _DEF = jax.lax.Precision.DEFAULT
                 dn = (((1,), (0,)), ((), ()))
                 if infos[gi]["kind"] == "crop_resize":
                     info = infos[gi]
@@ -671,6 +963,79 @@ def _emit(plane_ids, infos, *, interpret: bool):
                 pltpu.make_async_copy(
                     src_refs[gi].at[0], windows[gi].at[z % 2], sem.at[gi, z % 2]
                 ).wait()
+                if infos[gi]["kind"] == "warp":
+                    # STATIC-matrix warp plane: the universal warp kernel's
+                    # one-hot gather + double-select structure with every
+                    # index/fraction/mask map BAKED host-side (exact f32
+                    # coordinate math mirroring WarpRead.lower — parity is
+                    # 1-ulp-of-coordinate class vs the XLA path)
+                    meta = infos[gi]["_bake_meta"]
+                    bi = bake_idx[gi]
+                    (lt_r, kk_r, hs_r, ss_r, fx_r, fy_r, m00_r, m01_r,
+                     m10_r, m11_r, bor_r) = bake_refs[bi : bi + 11]
+                    n_hg, n_sv = meta["n_hg"], meta["n_sv"]
+                    Rw, tn = meta["R"], meta["tn"]
+                    ch_cols = meta["ch_cols"]
+                    sh_w = infos[gi]["sshape"][0]
+                    raw = windows[gi][z % 2][:, : src_lanes_real[gi]]
+                    # u8 -> bf16 exact (no direct u8->bf16 in Mosaic)
+                    win_f = raw.astype(jnp.int32).astype(jnp.bfloat16)
+                    lrow = jax.lax.broadcasted_iota(
+                        jnp.int32, (src_lanes_real[gi], 1), 0)
+                    bor = bor_r[0].reshape(1, tn)
+                    rows_out = []
+                    for b in range(meta["n_bands"]):
+                        lane_t = lt_r[0, b].reshape(1, ch_cols)
+                        gmat = (lrow == lane_t).astype(jnp.bfloat16)
+                        d_raw = jax.lax.dot_general(
+                            win_f, gmat, dn, precision=_DEF,
+                            preferred_element_type=jnp.float32,
+                        )  # (sh, ch_cols): exact u8 taps
+                        kkv = kk_r[0, b].reshape(n_sv * Rw, 1)
+                        kio = jax.lax.broadcasted_iota(
+                            jnp.int32, (n_sv * Rw, sh_w), 1)
+                        gv = (kio == kkv).astype(jnp.bfloat16)
+                        d_all = jax.lax.dot_general(
+                            gv, d_raw, dn, precision=_DEF,
+                            preferred_element_type=jnp.float32,
+                        )  # (n_sv*Rw, ch_cols)
+                        hs = hs_r[0, b]
+                        ss = ss_r[0, b]
+                        v00 = jnp.zeros((Rw, tn), jnp.float32)
+                        v01 = jnp.zeros((Rw, tn), jnp.float32)
+                        v10 = jnp.zeros((Rw, tn), jnp.float32)
+                        v11 = jnp.zeros((Rw, tn), jnp.float32)
+                        for hc in range(n_hg - 1):
+                            bh = hs == hc
+                            lo_c, hi_c = hc * tn, (hc + 1) * tn
+                            for sc_ in range(n_sv - 1):
+                                mm = bh & (ss == sc_)
+                                top = d_all[sc_ * Rw : (sc_ + 1) * Rw]
+                                bot = d_all[(sc_ + 1) * Rw : (sc_ + 2) * Rw]
+                                v00 = v00 + jnp.where(
+                                    mm, top[:, lo_c:hi_c], 0.0)
+                                v01 = v01 + jnp.where(
+                                    mm, top[:, hi_c : hi_c + tn], 0.0)
+                                v10 = v10 + jnp.where(
+                                    mm, bot[:, lo_c:hi_c], 0.0)
+                                v11 = v11 + jnp.where(
+                                    mm, bot[:, hi_c : hi_c + tn], 0.0)
+                        fx = fx_r[0, b]
+                        fy = fy_r[0, b]
+                        m00 = m00_r[0, b]
+                        m01 = m01_r[0, b]
+                        m10 = m10_r[0, b]
+                        m11 = m11_r[0, b]
+                        h0 = ((m00 * v00 + (1.0 - m00) * bor) * (1.0 - fx)
+                              + (m01 * v01 + (1.0 - m01) * bor) * fx)
+                        h1 = ((m10 * v10 + (1.0 - m10) * bor) * (1.0 - fx)
+                              + (m11 * v11 + (1.0 - m11) * bor) * fx)
+                        rows_out.append(h0 * (1.0 - fy) + h1 * fy)
+                    x = (rows_out[0] if len(rows_out) == 1
+                         else jnp.concatenate(rows_out, axis=0))
+                    x = run_chain(gi, x)
+                    out_ref[0] = x.astype(out_dtype)
+                    return
                 x = windows[gi][z % 2][:, : src_lanes_real[gi]]
                 if dt.is_integer(x.dtype) and x.dtype.itemsize == 1:
                     x = x.astype(jnp.int32)

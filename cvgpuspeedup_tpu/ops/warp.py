@@ -144,7 +144,10 @@ class WarpRead(ReadOp):
     uni_buckets: object = static_field(default=None)
 
     def lower(self) -> jnp.ndarray:
-        src = self.source.lower().astype(jnp.float32)
+        # jnp.asarray: a host-numpy source indexed with TRACED tap indices
+        # would call numpy fancy indexing on tracers (crashes under
+        # eval_shape / abstract tracing)
+        src = jnp.asarray(self.source.lower()).astype(jnp.float32)
         sx = self.col_x[None, :] + self.row_x[:, None]
         sy = self.col_y[None, :] + self.row_y[:, None]
         if self.warp_type == WarpType.PERSPECTIVE:

@@ -415,3 +415,73 @@ def test_divergent_auto_refuses_lane_pad(rng):
     # the padded explicit path still computes correctly
     p = np.asarray(pd.try_lower([seq], ids, interpret=True))
     check_float(p, np.asarray(data) * 2.0, tol=0, msg="padded explicit path")
+
+
+def test_divergent_warp_mix_one_kernel(rng):
+    """8-plane pipeline mixing WARP | crop-resize | pass-through sequences
+    in ONE launch (VERDICT r4 #5; reference arbitrary per-plane routing,
+    ``test_circularbatchread_x_write3D.cu:147-156``, warp overloads
+    ``include/cvGPUSpeedup.cuh:285-442``). The warp group's static matrices
+    are baked host-side into exact candidate/select maps."""
+    import cv2
+    from cvgpuspeedup_tpu.exec import pallas_divergent as pd
+
+    n = 8
+    imgs = [rng.integers(0, 256, (96, 128, 3)).astype(np.uint8)
+            for _ in range(n)]
+    mats = [cv2.getRotationMatrix2D((64, 48), 4.0 * z - 14, 1.0)
+            for z in range(n)]
+    frame = rng.integers(0, 256, (296, 384, 3)).astype(np.uint8)
+    rects = np.array([[5 * z, 3 * z, 60, 120] for z in range(n)], np.int32)
+    flat = rng.integers(0, 200, (n, 128, 64, 3)).astype(np.float32)
+    seq_warp = cvgs.build_operation_sequence(
+        cvgs.warp_batch(imgs, mats, cvgs.Size(64, 128)),
+        cvgs.multiply(0.5), cvgs.write_tensor())
+    seq_crop = cvgs.build_operation_sequence(
+        cvgs.resize_batch(frame, rects=rects, dsize=cvgs.Size(64, 128)),
+        cvgs.convert_to(np.float32, alpha=0.5), cvgs.write_tensor())
+    seq_pass = cvgs.build_operation_sequence(
+        cvgs.image(flat), cvgs.multiply(2.0), cvgs.write_tensor())
+    ids = [1, 2, 3, 1, 2, 3, 1, 2]
+    assert pd.supports([seq_warp, seq_crop, seq_pass], ids)
+    x = np.asarray(cvgs.launch_divergent_batch(
+        ids, seq_warp, seq_crop, seq_pass, backend=cvgs.ParBackend.XLA))
+    p = np.asarray(pd.try_lower([seq_warp, seq_crop, seq_pass], ids,
+                                interpret=True))
+    check_float(p, x, tol=0, msg="divergent warp mix vs xla")
+    # through the public launcher (jitted, prebaked matrices)
+    p2 = np.asarray(cvgs.launch_divergent_batch(
+        ids, seq_warp, seq_crop, seq_pass,
+        backend=cvgs.ParBackend.PALLAS_INTERPRET))
+    from conftest import assert_backend
+    assert_backend("pallas:divergent:interpret")
+    check_float(p2, x, msg="divergent warp mix via launcher")
+
+
+def test_divergent_warp_static_key_recompiles(rng):
+    """Warp matrices are baked into the divergent program — NEW matrices
+    must produce new results (the compile cache keys on the matrix bytes,
+    not just the pipeline structure)."""
+    import cv2
+
+    n = 4
+    imgs = [rng.integers(0, 256, (96, 128, 3)).astype(np.uint8)
+            for _ in range(n)]
+    flat = rng.integers(0, 200, (n, 128, 64, 3)).astype(np.float32)
+    seq_pass = cvgs.build_operation_sequence(
+        cvgs.image(flat), cvgs.write_tensor())
+    outs = []
+    for ang in (5.0, 25.0):
+        mats = [cv2.getRotationMatrix2D((64, 48), ang + z, 1.0)
+                for z in range(n)]
+        sw = cvgs.build_operation_sequence(
+            cvgs.warp_batch(imgs, mats, cvgs.Size(64, 128)),
+            cvgs.write_tensor())
+        x = np.asarray(cvgs.launch_divergent_batch(
+            [1, 2, 1, 2], sw, seq_pass, backend=cvgs.ParBackend.XLA))
+        p = np.asarray(cvgs.launch_divergent_batch(
+            [1, 2, 1, 2], sw, seq_pass,
+            backend=cvgs.ParBackend.PALLAS_INTERPRET))
+        check_float(p, x, tol=0, msg=f"warp static key ang={ang}")
+        outs.append(p)
+    assert not np.allclose(outs[0], outs[1])
