@@ -12,10 +12,10 @@ through the axon tunnel ``block_until_ready`` returns before execution
 finishes and only a device->host transfer observes completion (first
 transfer warms the path in O(1 min), later syncs are ~0.1 s). Device time
 per batch is therefore measured DIFFERENTIALLY over a LARGE iteration count:
-one jitted program of 100 UNROLLED kernel invocations (distinct rect shifts
+one jitted program of 300 UNROLLED kernel invocations (distinct rect shifts
 so XLA cannot CSE them; lax.scan would add ~110 us/iter of loop bookkeeping),
 called k times back-to-back with one scalar sync;
-t_batch = (T(k2)-T(k1)) / ((k2-k1)*100). The 2000-batch differential signal
+t_batch = (T(k2)-T(k1)) / ((k2-k1)*300). The 2000-batch differential signal
 (~85 ms) stands far above the few-ms sync jitter; small-N protocols measured
 +-20 us/batch noise, larger than the kernel itself. The bench also checks
 the ON-DEVICE output against the cv2 oracle before timing — interpret-mode
@@ -69,7 +69,7 @@ def build_pipeline(frame, rects, mode=None):
     )
 
 
-def make_runner(pipeline, lower_fn, iters=100):
+def make_runner(pipeline, lower_fn, iters=300):
     leaves, treedef = jax.tree_util.tree_flatten(pipeline)
     leaves = [jax.device_put(l) for l in leaves]
     rect_idx = next(
@@ -82,8 +82,12 @@ def make_runner(pipeline, lower_fn, iters=100):
         total = jnp.float32(0.0)
         for i in range(iters):
             lv = list(ls)
-            # distinct rect shifts per invocation: prevents CSE/hoisting
-            lv[rect_idx] = lv[rect_idx] + (i % 97) + seed
+            # distinct rect shifts per invocation: prevents CSE/hoisting.
+            # mod 991 > any inner in use — mod 97 made iterations i and
+            # i+97 IDENTICAL at inner>=98, and XLA deduped them (measured:
+            # a 300-unrolled mod-97 program ran ~1/3 faster per claimed
+            # iteration than the all-distinct build — phantom speedup)
+            lv[rect_idx] = lv[rect_idx] + (i % 991) + seed
             p = jax.tree_util.tree_unflatten(treedef, lv)
             out = lower_fn(p)
             if isinstance(out, (tuple, list)):
@@ -96,7 +100,7 @@ def make_runner(pipeline, lower_fn, iters=100):
     return lambda seed=0: run_n(leaves, jnp.int32(seed))
 
 
-def differential_time(pipeline, lower_fn, inner=100, k_small=2, k_large=22,
+def differential_time(pipeline, lower_fn, inner=300, k_small=2, k_large=10,
                       reps=9, min_valid=None):
     """Median per-batch device time.
 

@@ -491,6 +491,7 @@ def warp_batch(
     from .exec.pallas_warp_universal import universal_buckets
 
     warps = []
+    buckets = []
     for s, m in zip(sources, matrices):
         wr = warp(s, m, dsize, warp_type=warp_type, default=border_value)
         if wr.uni_buckets is None:
@@ -501,6 +502,22 @@ def warp_batch(
             inv = np.asarray(wr.coeffs, np.float64).reshape(-1, 3)
             wr = _dc_replace(wr, uni_buckets=universal_buckets(inv, dsize))
         warps.append(wr)
+        buckets.append(wr.uni_buckets)
+    # UNIFORM static buckets across the batch: the batch kernel sizes its
+    # tiles by the max anyway, and identical statics keep every sub-read
+    # structurally identical — required by the plane-axis sharding
+    # (parallel.mesh._execute_sharded_batchread) and by the compile cache
+    if all(b is not None for b in buckets) and len(
+            {b[0] for b in buckets}) == 1:
+        bmax = (buckets[0][0],) + tuple(
+            max(b[i] for b in buckets) for i in range(1, 5))
+    else:
+        bmax = None
+    # sep/gen buckets are single-image kernel statics the batched path never
+    # consults — clear them too, or per-plane static differences would break
+    # the structural identity the sharding and compile cache rely on
+    warps = [_dc_replace(w, uni_buckets=bmax, sep_buckets=None,
+                         gen_buckets=None) for w in warps]
     return batch_read(
         warps,
         used_planes=used_planes,

@@ -620,10 +620,17 @@ def supports(seqs, plane_ids, *, allow_pad: bool = True) -> bool:
     return _plan(seqs, plane_ids, allow_pad=allow_pad) is not None
 
 
-def try_lower(seqs, plane_ids, *, interpret: bool = False, prebaked=None):
+def try_lower(seqs, plane_ids, *, interpret: bool = False, prebaked=None,
+              gids=None):
     """``prebaked``: warp-group bake from :func:`prebake` — required when
     called inside a jit trace (the matrices are tracers there); a direct
-    call with concrete matrices bakes on the fly."""
+    call with concrete matrices bakes on the fly.
+
+    ``gids``: optional RUNTIME (n,) i32 plane->sequence-id array overriding
+    the static ``plane_ids`` VALUES (their length still fixes the plane
+    count). The kernel reads ids via scalar prefetch, so sharded callers
+    pass each shard's slice of the global routing without recompiling
+    (``parallel.mesh.execute_divergent_sharded``)."""
     infos = _plan(seqs, plane_ids)
     if infos is None:
         return None
@@ -640,16 +647,19 @@ def try_lower(seqs, plane_ids, *, interpret: bool = False, prebaked=None):
         if any(prebaked.get(gi) is None for gi in warp_gis):
             return None  # exact candidate counts exceeded the caps
     return _emit(tuple(plane_ids), infos, interpret=interpret,
-                 prebaked=prebaked)
+                 prebaked=prebaked, gids=gids)
 
 
-def _emit(plane_ids, infos, *, interpret: bool, prebaked=None):
+def _emit(plane_ids, infos, *, interpret: bool, prebaked=None, gids=None):
     n = len(plane_ids)
     h, w, c = infos[0]["pshape"]
     lanes = w * c
     out_dtype = jnp.dtype(_chain_out_dtype(infos[0]["chain"]))
 
-    gids = np.asarray(plane_ids, np.int32)  # 1-based group per plane
+    # 1-based group per plane; a runtime override (sharded callers) rides
+    # the same scalar-prefetch slot
+    gids = (np.asarray(plane_ids, np.int32) if gids is None
+            else jnp.asarray(gids, jnp.int32))
     firsts = jnp.stack(
         [
             jnp.asarray(info["read"].first, jnp.int32).reshape(())

@@ -54,7 +54,7 @@ from ..ops.resize import BatchResizeRead
 from ..types import ParBackend
 
 __all__ = ["initialize_distributed", "make_mesh", "execute_sharded",
-           "scaling_efficiency"]
+           "execute_divergent_sharded", "scaling_efficiency"]
 
 # compile cache: (treedef, mesh, backend) -> jitted shard_map program, so
 # parameter-only changes reuse the compiled program like execute_operations
@@ -302,6 +302,126 @@ def _execute_sharded_batchread(pipeline: Pipeline, mesh: Mesh, axis: str,
         _SHARD_CACHE[cache_key] = jitted
     with mesh:
         return jitted(sub_leaves, rest_leaves)
+
+
+def execute_divergent_sharded(
+    selector,
+    *sequences: Pipeline,
+    mesh: Mesh,
+    backend: ParBackend = ParBackend.AUTO,
+):
+    """Shard a divergent batch (``launch_divergent_batch``) over the mesh's
+    plane axis: every shard runs its local planes' sequences in ONE launch.
+
+    Plane routing becomes a RUNTIME scalar-prefetch array — each shard gets
+    its slice of the global plane->sequence map, so the single traced
+    program serves every shard (static per-shard routing is impossible
+    inside shard_map). Sources with a leading plane axis shard; shared
+    frames replicate; circular rings replicate with a per-shard rebased
+    ``first``. Warp groups (host-baked static matrices, global plane
+    indexed) are not shardable yet and raise.
+    """
+    from ..exec import pallas_divergent
+
+    axis = mesh.axis_names[0]
+    nsh = mesh.shape[axis]
+    seqs = list(sequences)
+    n_planes = jax.eval_shape(seqs[0].read.lower).shape[0]
+    if callable(selector):
+        plane_ids = tuple(selector(z) for z in range(n_planes))
+    else:
+        plane_ids = tuple(int(i) for i in selector)
+        if len(plane_ids) != n_planes:
+            raise ValueError(
+                f"selector list has {len(plane_ids)} entries for "
+                f"{n_planes} planes")
+    if n_planes % nsh:
+        raise ValueError(f"plane count {n_planes} must divide mesh size {nsh}")
+    local_n = n_planes // nsh
+    for seq in seqs:
+        if isinstance(seq.read, BatchRead):
+            from ..ops.warp import WarpRead
+
+            if any(isinstance(o, WarpRead) for o in seq.read.ops):
+                raise NotImplementedError(
+                    "sharded divergent warp groups are not supported (their "
+                    "bakes are global-plane indexed); shard warp_batch via "
+                    "execute_sharded instead")
+
+    use_pallas = backend in (ParBackend.PALLAS, ParBackend.PALLAS_INTERPRET) \
+        or (backend == ParBackend.AUTO and jax.default_backend() == "tpu")
+    use_pallas = use_pallas and pallas_divergent.supports(seqs, plane_ids)
+    interpret = backend == ParBackend.PALLAS_INTERPRET or (
+        use_pallas and jax.default_backend() != "tpu")
+
+    gids_global = jnp.asarray(plane_ids, jnp.int32)
+    local_ids = plane_ids[:local_n]  # static structure for the local plan
+    n_seq = len(seqs)
+
+    flat = [jax.tree_util.tree_flatten_with_path(s) for s in seqs]
+    seq_defs = tuple(d for _, d in flat)
+    seq_leaves = tuple(tuple(l for _, l in lp) for lp, _ in flat)
+    seq_specs = tuple(
+        tuple(_leaf_spec(path, axis, seqs[i].read) for path, _ in flat[i][0])
+        for i in range(n_seq)
+    )
+    out_spec = _write_out_spec(seqs[0], axis)
+
+    cache_key = (seq_defs, "divergent", plane_ids, mesh, backend, use_pallas)
+    jitted = _SHARD_CACHE.get(cache_key)
+    if jitted is None:
+
+        def local_run(gid_loc, *leaves_per_seq):
+            idx = jax.lax.axis_index(axis)
+            local_seqs = []
+            for i in range(n_seq):
+                s: Pipeline = jax.tree_util.tree_unflatten(
+                    seq_defs[i], list(leaves_per_seq[i]))
+                rd = s.read
+                if isinstance(rd, CircularBatchRead):
+                    off = idx * jnp.int32(local_n)
+                    first = (rd.first + off if rd.ascendent
+                             else rd.first - off)
+                    s = dataclasses.replace(
+                        s, read=dataclasses.replace(rd, first=first))
+                local_seqs.append(s)
+            if use_pallas:
+                out = pallas_divergent.try_lower(
+                    local_seqs, local_ids, interpret=interpret, gids=gid_loc)
+                if out is not None:
+                    return local_seqs[0].write.write(out)
+            # masked-merge fallback: routing is runtime here, so every
+            # sequence computes its local planes and the gid mask selects —
+            # redundant work, but shard-uniform (static grouping needs
+            # static ids, impossible inside shard_map)
+            outs = []
+            for s in local_seqs:
+                rd = s.read
+                if isinstance(rd, CircularBatchRead):
+                    x = _LocalRingView(
+                        data=rd.data, first=rd.first, ascendent=rd.ascendent,
+                        local_n=local_n,
+                        packed_channels=rd.packed_channels).lower()
+                else:
+                    x = rd.lower()
+                for o in s.compute:
+                    x = o.apply(x)
+                outs.append(x)
+            merged = outs[0]
+            gcol = gid_loc.reshape((local_n,) + (1,) * (outs[0].ndim - 1))
+            for k in range(1, n_seq):
+                merged = jnp.where(gcol == k + 1, outs[k], merged)
+            return local_seqs[0].write.write(merged)
+
+        jitted = jax.jit(shard_map(
+            local_run, mesh,
+            in_specs=(P(axis),) + tuple(seq_specs),
+            out_specs=out_spec,
+            check=not use_pallas,
+        ))
+        _SHARD_CACHE[cache_key] = jitted
+    with mesh:
+        return jitted(gids_global, *seq_leaves)
 
 
 def scaling_efficiency(images_per_sec_n: float, images_per_sec_1: float, n: int) -> float:

@@ -159,3 +159,61 @@ def test_plane_count_must_divide(rng, mesh8):
             cvgs.resize_batch(frame, rects=rects, dsize=cvgs.Size(8, 8)),
             mesh=mesh8,
         )
+
+
+def test_sharded_warp_batch_pallas_kernel(rng, mesh8):
+    """warp_batch through the PALLAS batch emitter inside shard_map
+    (VERDICT r4 #9): per-plane matrices shard, the shared frame replicates,
+    each shard runs its local planes as one kernel. CPU-jitted interpret
+    mode FMA-contracts the coordinate math (~1e-3 of value); on chip the
+    Mosaic build is 1-ulp-coordinate class (bench job validated)."""
+    import cv2
+
+    frame = jax.device_put(
+        rng.integers(0, 256, (96, 384, 3)).astype(np.uint8))
+    mats = [cv2.getRotationMatrix2D((192, 48), 3.0 * i - 10, 1.0 + 0.05 * i)
+            for i in range(8)]
+    ops = lambda: [
+        cvgs.warp_batch([frame] * 8, mats, cvgs.Size(128, 64)),
+        cvgs.multiply(0.5),
+        cvgs.split_tensor(),
+    ]
+    from cvgpuspeedup_tpu.exec import pallas_warp_universal as pwu
+
+    pipe = cvgs.build_pipeline(*ops())
+    assert pwu.supports(pipe) and pwu._plan(pipe)["n_pl"] == 8
+    single = np.asarray(
+        cvgs.execute_operations(*ops(), backend=cvgs.ParBackend.XLA))
+    shp = pmesh.execute_sharded(*ops(), mesh=mesh8,
+                                backend=cvgs.ParBackend.PALLAS_INTERPRET)
+    assert shp.sharding.spec == jax.sharding.PartitionSpec("batch")
+    check_float(np.asarray(shp), single, tol=2e-3,
+                msg="sharded pallas batch warp")
+
+
+def test_sharded_divergent(rng, mesh8):
+    """Divergent batch sharded over the mesh (VERDICT r4 #9): plane routing
+    rides a runtime prefetch slice per shard; crop-resize frames replicate,
+    rects/pass-through stacks shard, rings rebase."""
+    n = 16
+    frame = rng.integers(0, 256, (296, 384, 3)).astype(np.uint8)
+    rects = np.array([[5 * z, 3 * z, 60, 120] for z in range(n)], np.int32)
+    flat = rng.integers(0, 200, (n, 128, 64, 3)).astype(np.float32)
+    ring = rng.integers(0, 256, (n, 128, 64, 3)).astype(np.uint8)
+    seq1 = cvgs.build_operation_sequence(
+        cvgs.resize_batch(frame, rects=rects, dsize=cvgs.Size(64, 128)),
+        cvgs.convert_to(np.float32, alpha=0.5), cvgs.write_tensor())
+    seq2 = cvgs.build_operation_sequence(
+        cvgs.image(flat), cvgs.multiply(2.0), cvgs.write_tensor())
+    seq3 = cvgs.build_operation_sequence(
+        cvgs.circular_batch_read(ring, first=5),
+        cvgs.convert_to(np.float32, alpha=0.25), cvgs.write_tensor())
+    ids = [1 + (z % 3) for z in range(n)]
+    single = np.asarray(cvgs.launch_divergent_batch(
+        ids, seq1, seq2, seq3, backend=cvgs.ParBackend.XLA))
+    for be in (cvgs.ParBackend.XLA, cvgs.ParBackend.PALLAS_INTERPRET):
+        out = pmesh.execute_divergent_sharded(
+            ids, seq1, seq2, seq3, mesh=mesh8, backend=be)
+        assert out.sharding.spec == jax.sharding.PartitionSpec("batch")
+        check_float(np.asarray(out), single, tol=0,
+                    msg=f"sharded divergent {be.name}")
