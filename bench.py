@@ -157,7 +157,11 @@ def differential_time(pipeline, lower_fn, inner=300, k_small=2, k_large=10,
     diffs.sort()
     log(f"  per-batch us: {[f'{d*1e6:.1f}' for d in diffs]}")
     # the tunnel adds heavy-tailed jitter (spreads of 3x seen): report the
-    # median, which a single outlier cannot move
+    # median, which a single outlier cannot move; callers can also read the
+    # sample list (differential_time.last_samples) — the MIN (bounded below
+    # by the write-traffic rejection) is the cleanest device-time estimate
+    # under one-sided contention noise
+    differential_time.last_samples = list(diffs)
     return diffs[len(diffs) // 2]
 
 
@@ -332,8 +336,16 @@ def main():
     else:
         fused_lower = lambda p: p.lower()
     check_on_device(pipeline, fused_lower, _oracle_ignore_ar(frame, rects))
-    t_fused = differential_time(pipeline, fused_lower)
-    log(f"fused ({'pallas' if use_pallas else 'xla'}): {t_fused*1e6:.1f} us/batch")
+    # samples below the WRITE-ONLY traffic bound are physically impossible
+    # (the overlapping crop windows can stream re-reads from DRAM row
+    # buffers, so sub-analytic-floor samples are possible; sub-write-bound
+    # ones are not) — reject them at the source
+    out_bytes = BATCH * 3 * 128 * 64 * 4
+    t_fused = differential_time(pipeline, fused_lower,
+                                min_valid=out_bytes / 819e9)
+    t_fused_min = min(differential_time.last_samples)
+    log(f"fused ({'pallas' if use_pallas else 'xla'}): {t_fused*1e6:.1f} "
+        f"us/batch median, {t_fused_min*1e6:.1f} min")
 
     # HBM roofline: bytes touched per batch (per-plane DMA windows + planar
     # f32 outputs) at v5e ~819 GB/s. Window bytes come from the kernel's OWN
@@ -360,10 +372,15 @@ def main():
         pass
     report = {
         "flagship_us_per_batch": round(t_fused * 1e6, 2),
+        # best valid sample (>= the write-traffic bound): the cleanest
+        # device-time estimate under the tunnel's one-sided contention noise
+        "flagship_us_per_batch_min": round(t_fused_min * 1e6, 2),
         # primary efficiency metric: achieved vs the ANALYTIC HBM roofline
         # (bytes / 819 GB/s). Always physically meaningful (<=100%).
         "analytic_floor_us_per_batch": round(roofline_s * 1e6, 2),
         "pct_of_analytic": round(pct_of_analytic, 1),
+        "pct_of_analytic_best_sample": round(
+            roofline_s / t_fused_min * 100, 1),
         "letterbox_us_per_batch": None,
         "letterbox_images_per_sec": None,
         "measured_floor_us_per_batch": None,
