@@ -368,6 +368,16 @@ def _bake_warp_group(info, n: int):
         return None
     n_hg, n_sv = hg_need, sv_need
     ch_cols = n_hg * tn
+    # REAL per-step VMEM footprint with the exact candidate counts (the
+    # plan-time check used minimal ones): window ring + one plane's baked
+    # maps + the d_raw/d_all transients
+    real_vmem = (2 * sh * sw * c
+                 + n_tiles * (ch_cols + n_sv * R) * 4
+                 + 8 * dst_h * tn * 4
+                 + sh * ch_cols * 4
+                 + n_sv * R * ch_cols * 4)
+    if real_vmem > 10 * 1024 * 1024:
+        return None
 
     def expand(a2d):  # (dst_h, dst_w) -> tile-major (n_tiles, R, tn)
         out = np.empty((n_tiles, R, tn), a2d.dtype)
@@ -549,15 +559,15 @@ def _plan(seqs: Sequence, plane_ids, *, allow_pad: bool = True) -> Optional[list
     for info in infos:
         sh, sw, sc = info["sshape"]
         if info["kind"] == "warp":
-            # window ring (u8 planes) + per-step slice of the baked arrays
-            # (caps bound n_hg/n_sv; the actual bake may be smaller) +
-            # d_raw/d_all intermediates
+            # plan-time estimate uses the MINIMAL candidate counts (2): the
+            # true n_hg/n_sv are only known after the bake, which re-checks
+            # the real footprint (_bake_warp_group returns None when over,
+            # and the caller falls back to XLA)
             tn = w * c
             vmem += (2 * sh * sw * sc
-                     + (h // _WARP_R) * (_WARP_MAX_HG * tn
-                                         + _WARP_MAX_SV * _WARP_R) * 4
+                     + (h // _WARP_R) * (2 * tn + 2 * _WARP_R) * 4
                      + 8 * h * tn * 4
-                     + sh * _WARP_MAX_HG * tn * 4)
+                     + sh * 2 * tn * 4)
             continue
         # whole-plane window DMAs slice only the leading (plane) axis — full
         # minor dims at any lane width keep whole HBM tiles, so only the
