@@ -393,7 +393,11 @@ def _bake_warp_group(info, n: int):
     fy_a = np.zeros((n, n_tiles, R, tn), np.float32)
     masks = {m: np.zeros((n, n_tiles, R, tn), np.float32)
              for m in ("m00", "m01", "m10", "m11")}
-    border = np.zeros((n, tn), np.float32)
+    # (n, 1, tn): Mosaic requires the last TWO block dims to be (8,128)-
+    # divisible or full — a (n, tn) array plane-blocked to (1, tn) puts the
+    # plane axis second-to-last and fails to lower (chip-only error;
+    # interpret mode accepts it)
+    border = np.zeros((n, 1, tn), np.float32)
     src_lanes = sw * c
     jcol = np.arange(ch_cols)
     hp = jcol // tn
@@ -403,7 +407,7 @@ def _bake_warp_group(info, n: int):
         bvec = p["default"].reshape(-1)
         if bvec.size != c:
             bvec = np.broadcast_to(bvec[:1], (c,))
-        border[z] = np.tile(bvec, T)
+        border[z, 0] = np.tile(bvec, T)
         for b in range(n_bands):
             # one-hot H gather lanes: candidate pixel stair[x]+hp, channel c
             lane = (p["stairs"][b][xr] + hp) * c + cch
@@ -1002,7 +1006,7 @@ def _emit(plane_ids, infos, *, interpret: bool, prebaked=None, gids=None):
                     win_f = raw.astype(jnp.int32).astype(jnp.bfloat16)
                     lrow = jax.lax.broadcasted_iota(
                         jnp.int32, (src_lanes_real[gi], 1), 0)
-                    bor = bor_r[0].reshape(1, tn)
+                    bor = bor_r[0, 0].reshape(1, tn)
                     rows_out = []
                     for b in range(meta["n_bands"]):
                         lane_t = lt_r[0, b].reshape(1, ch_cols)
