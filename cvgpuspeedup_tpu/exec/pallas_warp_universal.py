@@ -470,7 +470,15 @@ def _emit(pipeline, plan: dict, *, interpret: bool):
     # band-pair grouping: two tiles per grid step amortize the ~700ns step
     # overhead and give Mosaic two independent dot/select chains to
     # interleave (the upscale case is step-overhead-bound at ~1900 tiles)
-    G_P = 2 if n_bands % 2 == 0 else 1
+    # band grouping amortizes the ~700 ns grid-step overhead; with the
+    # factored select the step overhead DOMINATES tile-heavy upscale plans
+    # (960 steps x 700 ns ~ 670 us of the 1.7 ms upscale-rot), so group 4
+    # bands when the ring fits VMEM (ring = 2*G_P*K*L u8)
+    G_P = 1
+    for cand in (4, 2):
+        if n_bands % cand == 0 and 2 * cand * K * L <= 4 * 1024 * 1024:
+            G_P = cand
+            break
     n_groups = n_bands // G_P
     out_shape = jax.ShapeDtypeStruct((n_strips, out_ch, pad_h, T), out_dtype)
     out_specs = pl.BlockSpec((1, out_ch, G_P * R, T),
@@ -871,7 +879,15 @@ def _emit_batch(pipeline, plan: dict, *, interpret: bool):
     n_fp = base + sum(leaf_sizes) + 1
 
     pad_h = n_bands * R
-    G_P = 2 if n_bands % 2 == 0 else 1
+    # band grouping amortizes the ~700 ns grid-step overhead; with the
+    # factored select the step overhead DOMINATES tile-heavy upscale plans
+    # (960 steps x 700 ns ~ 670 us of the 1.7 ms upscale-rot), so group 4
+    # bands when the ring fits VMEM (ring = 2*G_P*K*L u8)
+    G_P = 1
+    for cand in (4, 2):
+        if n_bands % cand == 0 and 2 * cand * K * L <= 4 * 1024 * 1024:
+            G_P = cand
+            break
     n_groups = n_bands // G_P
     out_shape = jax.ShapeDtypeStruct(
         (n_pl, n_strips, out_ch, pad_h, T), out_dtype)
