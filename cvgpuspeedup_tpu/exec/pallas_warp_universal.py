@@ -472,10 +472,11 @@ def _emit(pipeline, plan: dict, *, interpret: bool):
     # interleave (the upscale case is step-overhead-bound at ~1900 tiles)
     # band grouping amortizes the ~700 ns grid-step overhead; with the
     # factored select the step overhead DOMINATES tile-heavy upscale plans
-    # (960 steps x 700 ns ~ 670 us of the 1.7 ms upscale-rot), so group 4
-    # bands when the ring fits VMEM (ring = 2*G_P*K*L u8)
+    # (960 steps x 700 ns ~ 670 us of the 1.7 ms upscale-rot: G_P=4 lands
+    # 1466 us, bit-exact). Measured on-chip: G_P=4 HURTS smaller-tile
+    # classes (hflip 218 -> 293 us), so it gates on tile count.
     G_P = 1
-    for cand in (4, 2):
+    for cand in ((4, 2) if n_bands * n_strips >= 960 else (2,)):
         if n_bands % cand == 0 and 2 * cand * K * L <= 4 * 1024 * 1024:
             G_P = cand
             break
@@ -881,10 +882,11 @@ def _emit_batch(pipeline, plan: dict, *, interpret: bool):
     pad_h = n_bands * R
     # band grouping amortizes the ~700 ns grid-step overhead; with the
     # factored select the step overhead DOMINATES tile-heavy upscale plans
-    # (960 steps x 700 ns ~ 670 us of the 1.7 ms upscale-rot), so group 4
-    # bands when the ring fits VMEM (ring = 2*G_P*K*L u8)
+    # (960 steps x 700 ns ~ 670 us of the 1.7 ms upscale-rot: G_P=4 lands
+    # 1466 us, bit-exact). Measured on-chip: G_P=4 HURTS smaller-tile
+    # classes (hflip 218 -> 293 us), so it gates on tile count.
     G_P = 1
-    for cand in (4, 2):
+    for cand in ((4, 2) if n_bands * n_strips >= 960 else (2,)):
         if n_bands % cand == 0 and 2 * cand * K * L <= 4 * 1024 * 1024:
             G_P = cand
             break
