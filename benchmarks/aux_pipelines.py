@@ -831,8 +831,6 @@ def main():
     print("csv -> benchmarks/aux_pipeline_results.csv", file=sys.stderr)
 
 
-if __name__ == "__main__":
-    main()
 
 
 def bench_warp_batch(rec):
@@ -966,3 +964,7 @@ def bench_divergent_warp_mix(rec):
                  TimingStats.from_samples(s_fused))
     print(f"divergent warp|crop|pass mix: kernel {_median(s_fused)*1e6:.1f} "
           f"us vs XLA merge {_median(s_base)*1e6:.1f} us", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
