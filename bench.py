@@ -165,7 +165,7 @@ def differential_time(pipeline, lower_fn, inner=300, k_small=2, k_large=10,
     return diffs[len(diffs) // 2]
 
 
-def measure_floor(pipeline, min_valid=None):
+def measure_floor(pipeline, min_valid=None, inner=300, k_large=10):
     """In-run memory floor: the SAME grid/DMA/write skeleton with the compute
     body ablated (`pallas_backend._ABLATION='floor'`). Measured in the same
     session as the achieved time so the '% of floor' metric can never go
@@ -176,7 +176,7 @@ def measure_floor(pipeline, min_valid=None):
     try:
         return differential_time(
             pipeline, lambda p: pallas_backend.try_lower(p, interpret=False),
-            reps=7, min_valid=min_valid,
+            reps=7, min_valid=min_valid, inner=inner, k_large=k_large,
         )
     finally:
         pallas_backend._ABLATION = None
@@ -341,8 +341,18 @@ def main():
     # buffers, so sub-analytic-floor samples are possible; sub-write-bound
     # ones are not) — reject them at the source
     out_bytes = BATCH * 3 * 128 * 64 * 4
-    t_fused = differential_time(pipeline, fused_lower,
-                                min_valid=out_bytes / 819e9)
+    # the 300-unroll program compiles in ~5-6 min; after a worst-case
+    # ~1000 s transfer warm a tight driver budget would die before the
+    # FIRST record (BENCH_r04 rc=124). Degrade to the 100-unroll (~90 s
+    # compile; ~10-20% dispatch inflation at 14 us/batch) when the budget
+    # cannot afford the full protocol — an inflated record beats none.
+    if time_left() > 900:
+        inner, k_lg = 300, 10
+    else:
+        log(f"budget-degraded protocol: inner=100 ({time_left():.0f}s left)")
+        inner, k_lg = 100, 22
+    t_fused = differential_time(pipeline, fused_lower, inner=inner,
+                                k_large=k_lg, min_valid=out_bytes / 819e9)
     t_fused_min = min(differential_time.last_samples)
     log(f"fused ({'pallas' if use_pallas else 'xla'}): {t_fused*1e6:.1f} "
         f"us/batch median, {t_fused_min*1e6:.1f} min")
@@ -404,7 +414,7 @@ def main():
     # ---- PRESERVE_AR (letterbox) flagship row: the reference's aspect-ratio
     # headline config (test_batchresize_aspectratio_x_split3D.cu:125-173),
     # 30x120 crops fitted to (32, 128) centered in the 64x128 tile ----
-    if time_left() > 150:
+    if time_left() > 500:
         rects_ar = np.array([[i, i, 30, 120] for i in range(BATCH)], np.int32)
         pipe_ar = build_pipeline(frame, rects_ar,
                                  mode=cvgs.AspectRatio.PRESERVE_AR)
@@ -414,7 +424,7 @@ def main():
             if ar_pallas else (lambda p: p.lower())
         )
         check_on_device(pipe_ar, ar_lower, _oracle_letterbox(frame, rects_ar))
-        t_ar = differential_time(pipe_ar, ar_lower)
+        t_ar = differential_time(pipe_ar, ar_lower, inner=inner, k_large=k_lg)
         log(f"letterbox fused ({'pallas' if ar_pallas else 'xla'}): "
             f"{t_ar*1e6:.1f} us/batch")
         report["letterbox_us_per_batch"] = round(t_ar * 1e6, 2)
@@ -428,8 +438,9 @@ def main():
     # heavily in the source (rects at (i, i)), so DRAM row-buffer hits can
     # stream re-reads faster than spec bandwidth; sub-analytic floor samples
     # are physically possible, sub-write-bound samples are not ----
-    if use_pallas and time_left() > 120:
-        floor_s = measure_floor(pipeline, min_valid=out_bytes / 819e9)
+    if use_pallas and time_left() > 480:
+        floor_s = measure_floor(pipeline, min_valid=out_bytes / 819e9,
+                                 inner=inner, k_large=k_lg)
         # the measured floor bounds the kernel from below; a floor ABOVE the
         # achieved time means the floor run was contended/noisy — flag it
         # invalid rather than publishing a >100% "pct_of_floor" (VERDICT r3
@@ -448,7 +459,7 @@ def main():
         log(f"SKIP floor stage ({time_left():.0f}s left)")
 
     # ---- unfused 250-dispatch baseline: this run's own vs_baseline ----
-    if time_left() > 180:
+    if time_left() > 240:
         t_unfused = unfused_baseline(frame_dev, rects)
         log(f"unfused 250-dispatch baseline: {t_unfused*1e3:.2f} ms/batch")
         report["unfused_ms_per_batch"] = round(t_unfused * 1e3, 2)
