@@ -21,8 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
 import jax
 
-if jax.default_backend() not in ("tpu",):
-    pass  # wherever we run, we only measure host-side time
+# This benchmark measures HOST-side cost only (graph build, flatten, jit
+# cache hit, async dispatch) — pin the CPU backend: through the tunneled
+# TPU every call would re-upload the host frame (~95 ms/call of transfer,
+# not host overhead), drowning the microsecond-scale quantity under test.
+jax.config.update("jax_platforms", "cpu")
 
 import cvgpuspeedup_tpu as cvgs
 
