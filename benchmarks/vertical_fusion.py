@@ -48,7 +48,11 @@ def fused_chain(n_ops):
 
 
 def run_fused(img, chain, iters):
-    @jax.jit
+    from functools import partial
+
+    # n sizes the scan: it must be STATIC (jnp.arange of a traced length
+    # cannot trace)
+    @partial(jax.jit, static_argnums=1)
     def step(x, n):
         def body(c, i):
             p = cvgs.build_pipeline(cvgs.image(c[..., None] + i * 0.0), chain)
