@@ -363,7 +363,6 @@ def main():
     # hardcoded 768 lanes and published a 33%-inflated "analytic floor").
     geo = pallas_backend._window_geometry(pipeline.read)
     window_bytes = BATCH * geo["win_h"] * geo["lanes"]
-    out_bytes = BATCH * 3 * 128 * 64 * 4
     roofline_s = (window_bytes + out_bytes) / 819e9
     pct_of_analytic = roofline_s / t_fused * 100
     log(f"analytic HBM time {roofline_s*1e6:.1f} us/batch "

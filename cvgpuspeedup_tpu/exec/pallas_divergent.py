@@ -456,21 +456,40 @@ def static_key(seqs, plane_ids):
     return tuple(parts)
 
 
+_PREBAKE_CACHE: dict = {}
+
+
 def prebake(seqs, plane_ids):
     """Host-side bake of every warp group's static structure (runs OUTSIDE
     jit, where the matrices are concrete). Returns {group_index: bake}
     (empty when no warp group) or None when a group's exact candidate
-    counts exceed the caps — the caller must then fall back to XLA."""
+    counts exceed the caps — the caller must then fall back to XLA.
+
+    Memoized on the matrix bytes (the same key the compile cache uses):
+    the hot path calls the launcher per frame, and re-baking several MB of
+    numpy maps per call would dwarf the dispatch budget. Traced matrices
+    (a caller's own jit) return None uncached — the XLA fallback handles
+    them, as before warp groups existed."""
     infos = _plan(seqs, plane_ids)
     if infos is None:
         return {}
+    if not any(info["kind"] == "warp" for info in infos):
+        return {}
+    key = (static_key(seqs, plane_ids), tuple(plane_ids))
+    if key in _PREBAKE_CACHE:
+        return _PREBAKE_CACHE[key]
     out = {}
-    for gi, info in enumerate(infos):
-        if info["kind"] == "warp":
-            bake = _bake_warp_group(info, len(plane_ids))
-            if bake is None:
-                return None  # exceeds caps -> caller falls back to XLA
-            out[gi] = bake
+    try:
+        for gi, info in enumerate(infos):
+            if info["kind"] == "warp":
+                bake = _bake_warp_group(info, len(plane_ids))
+                if bake is None:
+                    out = None  # exceeds caps -> caller falls back to XLA
+                    break
+                out[gi] = bake
+    except jax.errors.TracerArrayConversionError:
+        return None  # traced matrices: uncached, XLA fallback
+    _PREBAKE_CACHE[key] = out
     return out
 
 

@@ -1000,8 +1000,12 @@ def analytic_floor(pipeline):
             mxu_s += n_bands * n_tiles * R * span * cols / V5E_BF16_MACS
         else:
             # horizontal first on the window rows (cols carries the w3
-            # tripling), reduced vertical second (wv_k carries Dekker)
-            mxu_s += n_bands * n_tiles * rows_in * span * cols / V5E_BF16_MACS
+            # tripling), reduced vertical second (wv_k carries Dekker).
+            # Exact/w3 parts run single-pass bf16; the general f32 regime
+            # runs Precision.HIGHEST (~6 bf16-rate passes)
+            rate = (V5E_BF16_MACS if (plan["exact"] or p["w3"])
+                    else V5E_BF16_MACS / 6.0)
+            mxu_s += n_bands * n_tiles * rows_in * span * cols / rate
             w3f = 3 if p["w3"] else 1
-            mxu_s += n_bands * R * wv_k * n_tiles * (cols // w3f) / V5E_BF16_MACS
+            mxu_s += n_bands * R * wv_k * n_tiles * (cols // w3f) / rate
     return dict(hbm_bytes=hbm, mxu_s=mxu_s, floor_s=kernel_floor_s(hbm, mxu_s))

@@ -428,8 +428,10 @@ def analytic_floor(pipeline):
            * plan["src_dtype"].itemsize
            + plan["dst_w"] * plan["dst_h"] * plan["out_ch"]
            * plan["out_dtype"].itemsize)
+    # H pass: (R, span) @ (span, nch*T) per tile, summed over tiles/bands =
+    # dst_h * span * nch * dst_w MACs (the kernel's own CostEstimate shape;
+    # an earlier // T here understated the floor by a factor of T)
     macs = (plan["n_bands"] * plan["R"] * plan["rows_in"] * plan["lanes"]
-            + plan["dst_h"] * plan["span"] * plan["nch"] * plan["dst_w"]
-            // plan["T"])
+            + plan["dst_h"] * plan["span"] * plan["nch"] * plan["dst_w"])
     mxu_s = macs / (V5E_BF16_MACS / 6.0)  # f32 HIGHEST passes
     return dict(hbm_bytes=hbm, mxu_s=mxu_s, floor_s=kernel_floor_s(hbm, mxu_s))

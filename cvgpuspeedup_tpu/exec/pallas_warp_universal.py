@@ -238,6 +238,7 @@ def _rt_search(persp, bx_x, bx_y, by_x, by_y, nch, src_h, src_lanes,
             )
             if vmem > _VMEM_BUDGET:
                 continue
+            vmem_plan = vmem
             mxu = 2 * k_rows * lanes * ch_cols + 2 * m_rows * k_rows * ch_cols
             vpu = (lanes * ch_cols            # G build
                    + m_rows * k_rows          # gv build
@@ -256,7 +257,8 @@ def _rt_search(persp, bx_x, bx_y, by_x, by_y, nch, src_h, src_lanes,
             if best is None or cost < best["cost"]:
                 best = dict(R=R, T=T, K=k_rows, L=lanes, S_v=s_v, S_h=s_h,
                             OFF=off, n_bands=n_bands, n_strips=n_strips,
-                            cost=cost, tile_flops=mxu, tile_dma_b=dma_b)
+                            cost=cost, tile_flops=mxu, tile_dma_b=dma_b,
+                            vmem=vmem_plan)
     return best
 
 
@@ -467,17 +469,20 @@ def _emit(pipeline, plan: dict, *, interpret: bool):
     n_fp = n_cf + nch + sum(leaf_sizes) + 1
 
     pad_h = n_bands * R  # ragged last band writes into the pad rows
-    # band-pair grouping: two tiles per grid step amortize the ~700ns step
-    # overhead and give Mosaic two independent dot/select chains to
-    # interleave (the upscale case is step-overhead-bound at ~1900 tiles)
     # band grouping amortizes the ~700 ns grid-step overhead; with the
     # factored select the step overhead DOMINATES tile-heavy upscale plans
     # (960 steps x 700 ns ~ 670 us of the 1.7 ms upscale-rot: G_P=4 lands
     # 1466 us, bit-exact). Measured on-chip: G_P=4 HURTS smaller-tile
     # classes (hflip 218 -> 293 us), so it gates on tile count.
+    # the ring and double-buffered output blocks scale with G_P beyond what
+    # _rt_search budgeted (2-slot ring, single-R blocks) — account the
+    # DELTA against the full budget or Mosaic can fail allocation on chip
     G_P = 1
     for cand in ((4, 2) if n_bands * n_strips >= 960 else (2,)):
-        if n_bands % cand == 0 and 2 * cand * K * L <= 4 * 1024 * 1024:
+        extra = ((2 * cand - 2) * K * L
+                 + 2 * (cand - 1) * out_ch * R * T * 4)
+        if (n_bands % cand == 0 and 2 * cand * K * L <= 4 * 1024 * 1024
+                and plan["vmem"] + extra <= _VMEM_BUDGET):
             G_P = cand
             break
     n_groups = n_bands // G_P
@@ -885,9 +890,15 @@ def _emit_batch(pipeline, plan: dict, *, interpret: bool):
     # (960 steps x 700 ns ~ 670 us of the 1.7 ms upscale-rot: G_P=4 lands
     # 1466 us, bit-exact). Measured on-chip: G_P=4 HURTS smaller-tile
     # classes (hflip 218 -> 293 us), so it gates on tile count.
+    # the ring and double-buffered output blocks scale with G_P beyond what
+    # _rt_search budgeted (2-slot ring, single-R blocks) — account the
+    # DELTA against the full budget or Mosaic can fail allocation on chip
     G_P = 1
     for cand in ((4, 2) if n_bands * n_strips >= 960 else (2,)):
-        if n_bands % cand == 0 and 2 * cand * K * L <= 4 * 1024 * 1024:
+        extra = ((2 * cand - 2) * K * L
+                 + 2 * (cand - 1) * out_ch * R * T * 4)
+        if (n_bands % cand == 0 and 2 * cand * K * L <= 4 * 1024 * 1024
+                and plan["vmem"] + extra <= _VMEM_BUDGET):
             G_P = cand
             break
     n_groups = n_bands // G_P

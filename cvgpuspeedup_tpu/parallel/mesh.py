@@ -340,17 +340,21 @@ def execute_divergent_sharded(
     local_n = n_planes // nsh
     for seq in seqs:
         if isinstance(seq.read, BatchRead):
-            from ..ops.warp import WarpRead
-
-            if any(isinstance(o, WarpRead) for o in seq.read.ops):
-                raise NotImplementedError(
-                    "sharded divergent warp groups are not supported (their "
-                    "bakes are global-plane indexed); shard warp_batch via "
-                    "execute_sharded instead")
+            # BatchRead sequences (warp groups, NV12 camera groups) hold
+            # GLOBAL-plane structure (baked maps / per-plane sub-reads) that
+            # this plane partitioner cannot slice — refuse cleanly instead
+            # of failing downstream with a broadcast/trace error
+            raise NotImplementedError(
+                "sharded divergent BatchRead sequences are not supported "
+                "(their per-plane structure is global-plane indexed); shard "
+                "warp_batch via execute_sharded instead")
 
     use_pallas = backend in (ParBackend.PALLAS, ParBackend.PALLAS_INTERPRET) \
         or (backend == ParBackend.AUTO and jax.default_backend() == "tpu")
-    use_pallas = use_pallas and pallas_divergent.supports(seqs, plane_ids)
+    # same AUTO refusal as the unsharded launcher: lane-unaligned stacks
+    # would pay a per-launch full-stack padding copy (ADVICE r4)
+    use_pallas = use_pallas and pallas_divergent.supports(
+        seqs, plane_ids, allow_pad=backend != ParBackend.AUTO)
     interpret = backend == ParBackend.PALLAS_INTERPRET or (
         use_pallas and jax.default_backend() != "tpu")
 
